@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Fixture-table access (TESTDATA.md). One parquet file per table.
+  *
+  * Mirrors the reference's "external table over files in object
+  * storage" model (reference backend/hive_manager.py:169-181 registers
+  * S3-located external tables); here the location is a parquet path and
+  * Spark's datasource layer provides the scan with predicate pushdown
+  * and column pruning for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a long (legacy flag) and truncate
+    * ns→µs — exactly what DuckDB does when it reads the same file —
+    * so both engines see identical microsecond timestamps.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql paths).
+    * Idempotent and metadata-only — no data is read until a query runs.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

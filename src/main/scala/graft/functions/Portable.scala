@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic primitives.
+  *
+  * The driver's correctness gate compares Spark results against DuckDB
+  * running "the same" SQL, so any hash/pseudo-randomness used inside an
+  * oracle-checked query must produce bit-identical values in both
+  * engines. Spark's `hash()` (Murmur3) and DuckDB's `hash()` differ, so
+  * we standardize on md5 — identical everywhere — and derive a 60-bit
+  * integer from its first 15 hex digits.
+  *
+  * Each primitive has a Spark `Column` form and a DuckDB SQL-text form
+  * (used when generating oracle SQL strings).
+  */
+object Portable {
+
+  /** 60-bit non-negative integer hash of a string (Spark side). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same hash, DuckDB SQL text. `('0x'||hex15)::BIGINT` parses hex. */
+  def md5LongSql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  /** Seeded variant: hash of (seed || ':' || value). */
+  def seededMd5Long(c: Column, seed: Int): Column =
+    md5Long(concat_ws(":", lit(seed.toString), c))
+
+  def seededMd5LongSql(expr: String, seed: Int): String =
+    md5LongSql(s"concat('$seed', ':', $expr)")
+
+  /** Whitespace tokenization shared by the text operators: split on
+    * runs of whitespace, drop empties (Spark `split` and DuckDB
+    * `string_split_regex` both emit empty strings at the boundaries).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  def tokensSql(expr: String): String =
+    s"list_filter(string_split_regex($expr, '\\s+'), t -> length(t) > 0)"
+
+  /** Distinct tokens (set semantics for Jaccard et al). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  def tokenSetSql(expr: String): String =
+    s"list_distinct(${tokensSql(expr)})"
+}
