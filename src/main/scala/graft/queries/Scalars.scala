@@ -1,5 +1,206 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 — the scalar function library (HiveQL ∩ Spark),
+  * exercised category by category: string, date/time, math,
+  * conditional, JSON, hash. All built-in codegen'd functions; no UDFs.
+  *
+  * Cross-dialect care: DuckDB widens length/strpos/year/... to BIGINT
+  * (Spark gives INT) — the oracle casts; dayofweek differs by one
+  * (DuckDB Sunday=0, Spark Sunday=1).
+  */
 object Scalars {
-  val all: Vector[Q] = Vector()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.t(s, dir, n)
+
+  val q28 = Q(
+    "q28_string_functions",
+    (s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+          regexp_replace(col("p_type"), "a", "@").as("replaced"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).as("brand_num"),
+          size(split(col("p_name"), " ")).as("n_words"),
+          instr(col("p_type"), "ED").as("ed_pos"),
+          translate(col("p_brand"), "#", "-").as("translated"),
+          reverse(col("p_name")).as("rev_name"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+      |  upper(p_name) AS uname,
+      |  lower(p_brand) AS lbrand,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  substr(p_type, 1, 5) AS type5,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  lpad(p_brand, 12, '*') AS padded,
+      |  trim('  ' || p_brand || '  ') AS trimmed,
+      |  regexp_replace(p_type, 'a', '@', 'g') AS replaced,
+      |  regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num,
+      |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+      |  CAST(strpos(p_type, 'ED') AS INTEGER) AS ed_pos,
+      |  translate(p_brand, '#', '-') AS translated,
+      |  reverse(p_name) AS rev_name
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin))
+
+  val q29 = Q(
+    "q29_datetime_functions",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus2mo"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch0"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+      |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch0,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin))
+
+  val q30 = Q(
+    "q30_math_functions",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          ceil(col("l_extendedprice") / 100).as("price_ceil"),
+          floor(col("l_extendedprice") / 100).as("price_floor"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(pow(col("l_discount") + 1, 2), 6).as("disc_sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(log10(col("l_extendedprice")), 6).as("log10_price"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          signum(col("l_quantity") - 25).cast("int").as("dev_sign"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25) AS abs_dev,
+      |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+      |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+      |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+      |  round(pow(l_discount + 1, 2), 6) AS disc_sq,
+      |  round(ln(l_extendedprice), 6) AS ln_price,
+      |  round(log10(l_extendedprice), 6) AS log10_price,
+      |  round(exp(l_discount), 6) AS exp_disc,
+      |  CAST(sign(l_quantity - 25) AS INTEGER) AS dev_sign,
+      |  l_orderkey % 7 AS key_mod,
+      |  greatest(l_tax, l_discount) AS max_rate,
+      |  least(l_tax, l_discount) AS min_rate
+      |FROM lineitem
+      |WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** CASE/COALESCE/NULLIF bucketing rolled into a grouped count. */
+  val q31 = Q(
+    "q31_conditional_buckets",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .withColumn("status_label",
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")))
+        .groupBy("bucket", "status_label")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket", "status_label")
+    },
+    Some("""SELECT
+      |  CASE WHEN o_totalprice < 50000 THEN 'small'
+      |       WHEN o_totalprice < 150000 THEN 'medium'
+      |       ELSE 'large' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY bucket, status_label""".stripMargin))
+
+  /** JSON extraction from events.props (reference events fixture;
+    * Spark get_json_object ↔ DuckDB json_extract_string).
+    */
+  val q32 = Q(
+    "q32_json_extract_events",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("k"), 6).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      |  round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin))
+
+  /** Hash functions: md5 / sha2-256 and the portable 60-bit md5 hash
+    * primitive used by the dedup/LSH operators.
+    */
+  val q33 = Q(
+    "q33_hash_functions",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(
+          col("c_custkey"),
+          md5(col("c_name")).as("name_md5"),
+          sha2(col("c_name"), 256).as("name_sha256"),
+          Portable.md5Long(col("c_name")).as("name_h60"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey,
+      |  md5(c_name) AS name_md5,
+      |  sha256(c_name) AS name_sha256,
+      |  ${Portable.md5LongSql("c_name")} AS name_h60
+      |FROM customer
+      |WHERE c_custkey <= 100
+      |ORDER BY c_custkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(q28, q29, q30, q31, q32, q33)
 }
