@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.Warehouse
+import graft.ingest.CsvIngest
+import org.apache.spark.sql.SparkSession
+
+/** Runnable tour of the engine facade — the reference's REST surface
+  * (process-csv → tables → info → query → drop, reference
+  * backend/app.py:32-233) as a library flow. `sbt "runMain
+  * graft.EngineDemo"` prints each step.
+  */
+object EngineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-demo-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. "upload": a CSV lands somewhere reachable
+    val dir = Files.createTempDirectory("graft-demo")
+    val csv = dir.resolve("sales.csv")
+    Files.writeString(csv,
+      "region;amount;when\nasia;10.5;2024-01-01\nasia;4.5;2024-01-02\neu;7.25;2024-01-01\n")
+
+    // 2. process-csv: sniff + infer + register
+    val r = CsvIngest.ingest(spark, csv.toString, "Sales Upload!")
+    println(s"[demo] ingested table=${r.table} delim='${r.delimiter}' rows=${r.rowCount}")
+    r.columns.foreach { case (n, t) => println(s"[demo]   column $n: $t") }
+
+    // 3. catalog: external table + info
+    val wh = new Warehouse(spark)
+    wh.drop("sales_ext")
+    wh.createExternalCsv("sales_ext", csv.toString, header = true, delimiter = ";")
+    val info = wh.info("sales_ext")
+    println(s"[demo] catalog tables=${wh.listTables().mkString(",")}")
+    println(s"[demo] sales_ext rows=${info.rowCount} external=${info.isExternal}")
+
+    // 4. the (D) surface: SQL over the registered table
+    spark.sql(
+      s"""SELECT region, round(sum(amount), 2) AS total
+         |FROM sales_ext GROUP BY region ORDER BY region""".stripMargin)
+      .collect()
+      .foreach(row => println(s"[demo] total ${row.getString(0)} = ${row.getDouble(1)}"))
+
+    // 5. flagship query over the fixtures
+    val flag = SparkEntry.entry(spark)
+    println(s"[demo] flagship revenue-by-nation rows=${flag.count()}")
+
+    wh.drop("sales_ext")
+    println(s"[demo] dropped; csv still present=${Files.exists(csv)}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Catalog / DDL facade — the Spark-native form of the reference's
+  * hive_manager surface (SURVEY.md §2.11): create external/managed
+  * tables, drop (external keeps data), list, exists, describe, info
+  * (schema + row count + externality), partition refresh, health
+  * probe. Backed by Spark's session catalog; the identical calls work
+  * against a real Hive metastore with enableHiveSupport().
+  */
+final class Warehouse(spark: SparkSession) {
+
+  /** CREATE EXTERNAL TABLE ... equivalent: a catalog table whose data
+    * stays at `path` (reference hive_manager.py:135-222). Dropping it
+    * later leaves the files in place — Spark's rule for tables with
+    * an explicit path matches Hive's EXTERNAL semantics.
+    */
+  def createExternalCsv(
+      name: String, path: String,
+      header: Boolean = true, delimiter: String = ","): Unit =
+    spark.sql(
+      s"""CREATE TABLE ${q(name)} USING CSV
+         |OPTIONS (path '$path', header '$header', sep '$delimiter')""".stripMargin)
+
+  /** Managed-table sink (reference hive_manager.py:234-268): data is
+    * copied into the warehouse. The reference's 10k-row batched
+    * INSERT with per-row salvage is unnecessary — Spark task writes
+    * are atomic (SURVEY.md §2.1 S5).
+    */
+  def createManaged(name: String, df: DataFrame): Unit =
+    df.write.saveAsTable(name)
+
+  /** DROP TABLE IF EXISTS (hive_manager.py:120-133). */
+  def drop(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${q(name)}")
+
+  /** SHOW TABLES (app.py:188). */
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  /** SHOW TABLES LIKE 'x' existence probe (hive_manager.py:105-118). */
+  def exists(name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  /** DESCRIBE (hive_manager.py:396). */
+  def describe(name: String): StructType =
+    spark.table(name).schema
+
+  final case class TableInfo(
+      name: String, columns: Seq[(String, String)],
+      rowCount: Long, isExternal: Boolean)
+
+  /** DESCRIBE + COUNT(*) + DESCRIBE FORMATTED externality scan
+    * (reference get_table_info, hive_manager.py:386-419).
+    */
+  def info(name: String): TableInfo = {
+    val df = spark.table(name)
+    val external = spark.sql(s"DESCRIBE EXTENDED ${q(name)}")
+      .collect()
+      .exists(r => r.getString(0) == "Type" && r.getString(1).contains("EXTERNAL"))
+    TableInfo(
+      name,
+      df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString),
+      df.count(),
+      external)
+  }
+
+  /** MSCK REPAIR TABLE equivalent (hive_manager.py:334-349). */
+  def refresh(name: String): Unit =
+    spark.sql(s"REFRESH TABLE ${q(name)}")
+
+  /** Health probe: SELECT 1 (app.py:125,134; hive_manager.py:152). */
+  def healthy(): Boolean =
+    spark.sql("SELECT 1").collect().headOption.exists(_.getInt(0) == 1)
+
+  private def q(n: String) = "`" + n.replace("`", "``") + "`"
+}

@@ -1,0 +1,83 @@
+package graft.ingest
+
+import graft.types.Types
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV ingestion: delimiter sniffing + sample-bounded schema
+  * inference + registration — the reference's `POST /process-csv`
+  * pipeline (backend/csv_processor.py:36-110, app.py:32-118) rebuilt
+  * on Spark's datasource layer.
+  *
+  * Scale notes vs the reference: the reference downloads the whole
+  * CSV into driver memory (csv_processor.py:77) — here only the
+  * sniff (first line) and the inference sample (`sampleRows` lines)
+  * ever reach the driver; the full file is read distributed with the
+  * inferred schema applied. The reference also sniffs a delimiter
+  * but hard-codes ',' in DDL (csv_processor.py:91 vs
+  * hive_manager.py:174) — a bug SURVEY.md §7 says to fix, not copy:
+  * the sniffed delimiter is used everywhere here.
+  */
+object CsvIngest {
+
+  val Candidates: Seq[Char] = Seq(',', ';', '\t', '|')
+
+  final case class IngestResult(
+      table: String,
+      delimiter: String,
+      schema: StructType,
+      columns: Seq[(String, String)], // name -> Hive type name
+      rowCount: Long)
+
+  /** Sniff the delimiter from the first line (candidates `,;\t|`,
+    * comma fallback — reference csv_processor.py:25-34 semantics).
+    */
+  def sniffDelimiter(spark: SparkSession, path: String): String = {
+    val first = spark.read.text(path).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    val counts = Candidates.map(c => c -> first.count(_ == c))
+    val (best, n) = counts.maxBy(_._2)
+    if (n == 0) "," else best.toString
+  }
+
+  /** Infer the schema from only the first `sampleRows` lines (the
+    * reference caps inference at MAX_SAMPLE_SIZE=1000 rows): the
+    * sample is re-parsed as CSV text, never the full file.
+    */
+  def inferSchema(
+      spark: SparkSession, path: String, delimiter: String,
+      header: Boolean, sampleRows: Int): StructType = {
+    val sample: Dataset[String] = spark.read.textFile(path)
+      .limit(sampleRows + (if (header) 1 else 0))
+    spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("inferSchema", "true")
+      .csv(sample)
+      .schema
+  }
+
+  /** Full ingest: sniff → infer on sample → distributed read with the
+    * fixed schema → register as a catalog view under the sanitized
+    * name. Returns the schema payload the reference's API responds
+    * with (app.py:100-111 shape).
+    */
+  def ingest(
+      spark: SparkSession, path: String, rawName: String,
+      header: Boolean = true, sampleRows: Int = 1000,
+      suffix: Option[String] = None): IngestResult = {
+    val delim = sniffDelimiter(spark, path)
+    val schema = inferSchema(spark, path, delim, header, sampleRows)
+    val df = spark.read
+      .option("header", header.toString)
+      .option("sep", delim)
+      .schema(schema) // fixed at "DDL time", like the reference
+      .csv(path)
+    val table = Types.sanitizeTableName(rawName, suffix)
+    df.createOrReplaceTempView(table)
+    IngestResult(
+      table, delim, schema,
+      schema.fields.toSeq.map(f => f.name -> Types.hiveName(f.dataType)),
+      df.count())
+  }
+}

@@ -1,5 +1,71 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.multimodal.MediaPipeline
+import graft.stats.SchemaPreview
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.13 L5 + §3.3 — schema preview on the documents table
+  * and the multimodal binary-column pipeline. q54 keeps Spark's side
+  * in real `binary` (unhex → BinaryType → hex) while the oracle
+  * mirrors the arithmetic in the hex-string domain (DuckDB 1.0 has no
+  * blob substring). q55 is the typed mapPartitions decode stub —
+  * not SQL-expressible, so it takes the driver's rows-only check.
+  */
 object MultimodalOps {
-  val all: Vector[Q] = Vector()
+
+  private val statCols = Seq("doc_id", "n_chars")
+
+  val q53 = Q(
+    "q53_schema_preview_documents",
+    (s, dir) => SchemaPreview.columnStats(Tables.t(s, dir, "documents"), statCols),
+    Some(SchemaPreview.columnStatsSql("documents", statCols)))
+
+  /** Binary payload metadata: byte length, 4-byte hex prefix, and a
+    * 4-point stride sample — computed on a real BinaryType column.
+    */
+  val q54 = Q(
+    "q54_media_metadata",
+    (s, dir) => {
+      MediaPipeline.withPayload(Tables.t(s, dir, "documents"))
+        .withColumn("hexp", hex(col("payload")))
+        .select(
+          col("doc_id"), col("kind"),
+          length(col("payload")).as("byte_len"),
+          substring(col("hexp"), 1, 8).as("prefix4"),
+          concat(
+            substring(col("hexp"), 1, 2), substring(col("hexp"), 17, 2),
+            substring(col("hexp"), 33, 2), substring(col("hexp"), 49, 2)).as("stride_sample"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |       WHEN n_chars % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(length(hexp) / 2 AS INTEGER) AS byte_len,
+      |  substr(hexp, 1, 8) AS prefix4,
+      |  substr(hexp, 1, 2) || substr(hexp, 17, 2) ||
+      |    substr(hexp, 33, 2) || substr(hexp, 49, 2) AS stride_sample
+      |FROM (SELECT doc_id, n_chars,
+      |        upper(md5(text) || md5(text || '1')) AS hexp
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Typed decode pipeline (STUB decoder — see MediaPipeline). No
+    * oracle: mapPartitions logic is not SQL-expressible; the driver
+    * records a rows-only check and MediaPipelineSpec pins the values.
+    */
+  val q55 = Q(
+    "q55_media_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = MediaPipeline
+        .withPayload(Tables.t(s, dir, "documents"))
+        .as[MediaPipeline.Media]
+      MediaPipeline.decodeFeatures(media).toDF().orderBy("doc_id")
+    },
+    None)
+
+  val all: Vector[Q] = Vector(q53, q54, q55)
 }

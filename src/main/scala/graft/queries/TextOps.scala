@@ -1,5 +1,419 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.13 / BASELINE north-star: training-data pipeline text
+  * operators — exact + near dedup (token Jaccard, MinHash-LSH,
+  * SimHash), n-gram Jaccard, token statistics, heuristic language ID,
+  * quality scoring, shingle fingerprinting.
+  *
+  * Scale design: no operator ever materializes the O(n²) pair space.
+  * Pair generation is always blocked — by (lang, source) for Jaccard,
+  * by LSH band buckets for MinHash, by signature bytes for SimHash —
+  * so the shuffle volume is Σ blockᵢ², not n². All hashes are the
+  * portable md5-based 60-bit hash ([[Portable.md5Long]]) so the
+  * DuckDB oracle replays the identical pipeline bit-for-bit.
+  */
 object TextOps {
-  val all: Vector[Q] = Vector()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** L1 exact dedup by content hash: one shuffle on sha256(text). */
+  val q39 = Q(
+    "q39_dedup_exact",
+    (s, dir) => {
+      docs(s, dir)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+    Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_id""".stripMargin))
+
+  /** L2 near-dup via exact token-set Jaccard, blocked by
+    * (lang, source): pairs are generated through a shared-token join
+    * inside each block (|A∩B| = join count, |A∪B| = |A|+|B|−|A∩B|),
+    * never a cross join.
+    */
+  val q40 = Q(
+    "q40_dedup_jaccard_blocked",
+    (s, dir) => {
+      val ex = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          Portable.tokenSet(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH ts AS (
+      |  SELECT doc_id, lang, source, ${Portable.tokenSetSql("text")} AS toks
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, lang, source, len(toks) AS n, unnest(toks) AS tok FROM ts)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(count(*) / (a.n + b.n - count(*)), 6) AS jac
+      |FROM ex a JOIN ex b
+      |  ON a.lang = b.lang AND a.source = b.source
+      | AND a.tok = b.tok AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      |HAVING count(*) / (a.n + b.n - count(*)) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** L2 near-dup via MinHash + LSH: 16 seeded min-hashes, 4 bands of
+    * 4 → candidates share a band signature → candidates verified with
+    * exact Jaccard. Candidate volume is Σ bucket², the LSH scale path.
+    */
+  val q41 = Q(
+    "q41_dedup_minhash_lsh",
+    (s, dir) => {
+      val toks = docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+      val mh = toks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("seed", explode(sequence(lit(0), lit(15))))
+        .withColumn("h", Portable.md5Long(concat_ws(":", col("seed"), col("tok"))))
+        .groupBy("doc_id", "seed").agg(min("h").as("minh"))
+      val sigs = mh
+        .withColumn("band", expr("seed div 4"))
+        .withColumn("part", concat_ws(":", col("seed"), col("minh")))
+        .groupBy("doc_id", "band")
+        .agg(array_join(sort_array(collect_list(col("part"))), ",").as("sig"))
+      val cand = sigs.alias("sa")
+        .join(sigs.alias("sb"),
+          col("sa.band") === col("sb.band") && col("sa.sig") === col("sb.sig") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+        .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+        .withColumn("jac",
+          size(array_intersect(col("ta"), col("tb"))) /
+            size(array_union(col("ta"), col("tb"))))
+        .filter(col("jac") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, ${Portable.tokenSetSql("text")} AS toks
+      |  FROM documents WHERE lang = 'en'),
+      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+      |mh AS (
+      |  SELECT doc_id, seed, min(${Portable.md5LongSql("concat(seed, ':', tok)")}) AS minh
+      |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      |  GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |    string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)) AS sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      |  FROM sigs sa JOIN sigs sb
+      |    ON sa.band = sb.band AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(len(list_intersect(ta.toks, tb.toks)) /
+      |        len(list_distinct(list_concat(ta.toks, tb.toks))), 6) AS jac
+      |FROM cand
+      |JOIN toks ta ON ta.doc_id = doc_a
+      |JOIN toks tb ON tb.doc_id = doc_b
+      |WHERE len(list_intersect(ta.toks, tb.toks)) /
+      |      len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** L2 near-dup via 32-bit SimHash + byte-banding: hamming ≤ 3 pairs
+    * are guaranteed to share at least one of the 4 signature bytes
+    * (pigeonhole), so the pair search is bucket-local.
+    */
+  val q42 = Q(
+    "q42_dedup_simhash",
+    (s, dir) => {
+      val sim = docs(s, dir).filter(col("lang") === "de")
+        .select(col("doc_id"), explode(Portable.tokenSet(col("text"))).as("tok"))
+        .withColumn("h32", Portable.md5Long(col("tok")) % lit(4294967296L))
+        .withColumn("i", explode(sequence(lit(0), lit(31))))
+        .withColumn("contrib", expr("2 * ((h32 div CAST(pow(2, i) AS BIGINT)) % 2) - 1"))
+        .groupBy("doc_id", "i").agg(sum("contrib").as("bal"))
+        .withColumn("bitv", when(col("bal") >= 0, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(sum(expr("bitv * CAST(pow(2, i) AS BIGINT)")).as("simhash"))
+      val banded = sim
+        .withColumn("band", explode(sequence(lit(0), lit(3))))
+        .withColumn("byte", expr("(simhash div CAST(pow(2, band * 8) AS BIGINT)) % 256"))
+      banded.alias("x")
+        .join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, unnest(${Portable.tokenSetSql("text")}) AS tok
+      |  FROM documents WHERE lang = 'de'),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    2 * (((${Portable.md5LongSql("tok")} % 4294967296) // CAST(pow(2, i) AS BIGINT)) % 2) - 1 AS contrib
+      |  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS i) ii),
+      |bal AS (SELECT doc_id, i, sum(contrib) AS bal FROM bits GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT doc_id,
+      |    CAST(sum((CASE WHEN bal >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, i) AS BIGINT)) AS BIGINT) AS simhash
+      |  FROM bal GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, simhash, band,
+      |    (simhash // CAST(pow(2, band * 8) AS BIGINT)) % 256 AS byte
+      |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    x.simhash AS sa, y.simhash AS sb
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      |FROM pairs
+      |WHERE bit_count(xor(sa, sb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Word-bigram (shingle) Jaccard near-dup, blocked by (lang,source)
+    * — same scalable shared-shingle join as q40 at n-gram granularity.
+    */
+  val q43 = Q(
+    "q43_ngram_jaccard",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          Portable.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("shingles", expr(
+          """array_distinct(transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
+      sh.alias("a")
+        .join(sh.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH ts AS (
+      |  SELECT doc_id, lang, source, ${Portable.tokensSql("text")} AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, source, len(shingles) AS n, unnest(shingles) AS sh
+      |  FROM (SELECT doc_id, lang, source,
+      |          list_distinct(list_transform(range(1, CAST(len(toks) AS BIGINT)),
+      |            i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+      |        FROM ts WHERE len(toks) >= 2))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(count(*) / (a.n + b.n - count(*)), 6) AS jac
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source
+      | AND a.sh = b.sh AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      |HAVING count(*) / (a.n + b.n - count(*)) >= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** L4 token statistics rolled up per language: counts via
+    * whitespace tokens and a BPE-ish regex tokenizer.
+    */
+  val q44 = Q(
+    "q44_token_stats_by_lang",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("nt", size(Portable.tokens(col("text"))))
+        .withColumn("ntypes", size(Portable.tokenSet(col("text"))))
+        .withColumn("nbpe",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").cast("long").as("total_tokens"),
+          round(avg("nt"), 4).as("avg_tokens"),
+          round(avg("ntypes"), 4).as("avg_types"),
+          round(avg(col("ntypes") / col("nt")), 6).as("avg_ttr"),
+          round(avg("nbpe"), 4).as("avg_bpe_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+      |  round(avg(nt), 4) AS avg_tokens,
+      |  round(avg(ntypes), 4) AS avg_types,
+      |  round(avg(ntypes / nt), 6) AS avg_ttr,
+      |  round(avg(nbpe), 4) AS avg_bpe_tokens
+      |FROM (
+      |  SELECT lang,
+      |    CAST(len(${Portable.tokensSql("text")}) AS INTEGER) AS nt,
+      |    CAST(len(${Portable.tokenSetSql("text")}) AS INTEGER) AS ntypes,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS nbpe
+      |  FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin))
+
+  /** Heuristic language ID: per-language top-20 token profiles are
+    * learned from the corpus itself, each document scores by profile
+    * overlap, argmax wins; output is the confusion matrix.
+    */
+  val q45 = Q(
+    "q45_lang_id_profile",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tokAll = d.select(col("doc_id"), col("lang"),
+        explode(Portable.tokens(col("text"))).as("tok"))
+      val top = tokAll
+        .groupBy(col("lang").as("plang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rn") <= 20)
+        .select("plang", "tok")
+      val dtok = d.select(col("doc_id"), col("lang"),
+        explode(Portable.tokenSet(col("text"))).as("tok"))
+      val pred = dtok.join(broadcast(top), "tok")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("lang"), col("plang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+    Some(s"""WITH tok_all AS (
+      |  SELECT doc_id, lang, unnest(${Portable.tokensSql("text")}) AS tok
+      |  FROM documents),
+      |top AS (
+      |  SELECT plang, tok FROM (
+      |    SELECT lang AS plang, tok, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+      |    FROM tok_all GROUP BY lang, tok)
+      |  WHERE rn <= 20),
+      |dtok AS (
+      |  SELECT doc_id, lang, unnest(${Portable.tokenSetSql("text")}) AS tok
+      |  FROM documents),
+      |pred AS (
+      |  SELECT doc_id, lang, plang FROM (
+      |    SELECT d.doc_id, d.lang, t.plang, count(*) AS score,
+      |      row_number() OVER (PARTITION BY d.doc_id
+      |        ORDER BY count(*) DESC, t.plang) AS rn
+      |    FROM dtok d JOIN top t ON d.tok = t.tok
+      |    GROUP BY d.doc_id, d.lang, t.plang)
+      |  WHERE rn = 1)
+      |SELECT lang, plang AS predicted, count(*) AS n
+      |FROM pred
+      |GROUP BY lang, plang
+      |ORDER BY lang, predicted""".stripMargin))
+
+  /** Quality scoring: type-token ratio, stopword ratio (top-10 global
+    * tokens as the stop list), length saturation — one score per doc.
+    */
+  val q46 = Q(
+    "q46_quality_score",
+    (s, dir) => {
+      val tokAll = docs(s, dir).select(col("doc_id"),
+        explode(Portable.tokens(col("text"))).as("tok"))
+      val stop = tokAll.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rn") <= 10)
+        .select(col("tok").as("stok"))
+      tokAll.join(broadcast(stop), col("tok") === col("stok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("nt"),
+          countDistinct(col("tok")).as("ntypes"),
+          sum(col("stok").isNotNull.cast("long")).as("stopn"),
+          sum(length(col("tok"))).cast("long").as("sumlen"))
+        .withColumn("ttr", col("ntypes") / col("nt"))
+        .withColumn("stop_ratio", col("stopn") / col("nt"))
+        .withColumn("avg_len", col("sumlen") / col("nt"))
+        .withColumn("score",
+          round(lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(lit(1.0), col("nt") / 50), 6))
+        .select(col("doc_id"), col("nt"), col("ntypes"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("avg_len"), 6).as("avg_len"),
+          col("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok_all AS (
+      |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS tok
+      |  FROM documents),
+      |stop AS (
+      |  SELECT tok AS stok FROM (
+      |    SELECT tok, count(*) AS cnt,
+      |      row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      |    FROM tok_all GROUP BY tok)
+      |  WHERE rn <= 10),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS nt, count(DISTINCT tok) AS ntypes,
+      |    CAST(sum(CASE WHEN stok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stopn,
+      |    CAST(sum(length(tok)) AS BIGINT) AS sumlen
+      |  FROM tok_all LEFT OUTER JOIN stop ON tok = stok
+      |  GROUP BY doc_id)
+      |SELECT doc_id, nt, ntypes,
+      |  round(ntypes / nt, 6) AS ttr,
+      |  round(stopn / nt, 6) AS stop_ratio,
+      |  round(sumlen / nt, 6) AS avg_len,
+      |  round(0.4 * (ntypes / nt) + 0.3 * (1.0 - stopn / nt) +
+      |        0.3 * least(1.0, nt / 50), 6) AS score
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprinting via 8-char rolling shingles: the min
+    * shingle hash is the fingerprint (winnowing-lite), plus the
+    * distinct-shingle cardinality.
+    */
+  val q47 = Q(
+    "q47_fingerprint_shingles",
+    (s, dir) => {
+      docs(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+        .withColumn("h", Portable.md5Long(expr("substring(text, i, 8)")))
+        .groupBy("doc_id")
+        .agg(min("h").as("fingerprint"), countDistinct(col("h")).as("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, min(h) AS fingerprint, count(DISTINCT h) AS n_shingles
+      |FROM (
+      |  SELECT doc_id, ${Portable.md5LongSql("sh")} AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, CAST(length(text) AS BIGINT) - 6),
+      |        i -> substr(text, CAST(i AS INTEGER), 8))) AS sh
+      |    FROM documents WHERE length(text) >= 8))
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

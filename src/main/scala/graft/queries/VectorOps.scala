@@ -1,5 +1,205 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.{Portable, VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.13 L3/L5 — similarity search over `array<float>`
+  * embeddings and the multimodal join.
+  *
+  * Scale design: the brute-force top-k broadcasts the (tiny) query
+  * set against the big side — no shuffle of the candidate table; the
+  * ANN variant buckets by deterministic random-hyperplane signs so
+  * the pair space is bucket-local. Centroid math uses posexplode +
+  * per-position aggregation (a single shuffle keyed by (label,pos)),
+  * never a driver-side collect.
+  */
 object VectorOps {
-  val all: Vector[Q] = Vector()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+
+  /** Brute-force cosine top-5 for the first 20 vectors — the exact
+    * baseline an ANN variant is judged against. Query side is
+    * broadcast; ranking keys on the rounded cosine with id tiebreak
+    * so both engines rank identically.
+    */
+  val q48 = Q(
+    "q48_cosine_topk_bruteforce",
+    (s, dir) => {
+      val wn = emb(s, dir)
+        .withColumn("nrm", V.norm("embedding"))
+      val qs = wn.filter(col("vec_id") < 20).select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val cand = wn.select(
+        col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      cand.crossJoin(broadcast(qs))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos", round(V.dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH wn AS (
+      |  SELECT vec_id, embedding, ${V.normSql("embedding")} AS nrm
+      |  FROM embeddings)
+      |SELECT query_id, cand_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC,
+      |        c.vec_id) AS rn
+      |  FROM wn q JOIN wn c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20)
+      |WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin))
+
+  /** Per-label centroids: posexplode + (label, position) aggregation.
+    * One shuffle; works unchanged at any embedding count.
+    */
+  val q49 = Q(
+    "q49_label_centroids",
+    (s, dir) => {
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "pos0", "v")
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .orderBy("label", "pos")
+    },
+    Some("""SELECT label, CAST(i AS INTEGER) AS pos,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      |FROM embeddings, generate_series(1, 64) g(i)
+      |GROUP BY 1, 2
+      |ORDER BY label, pos""".stripMargin))
+
+  /** Nearest-centroid assignment → label confusion matrix. Centroids
+    * (rounded, so both engines share exact values) are broadcast
+    * against the embedding table.
+    */
+  val q50 = Q(
+    "q50_nearest_centroid_confusion",
+    (s, dir) => {
+      val cents = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "pos0", "v")
+        .groupBy(col("label").as("clabel"), (col("pos0") + 1).as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      emb(s, dir).crossJoin(broadcast(cents))
+        .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT clabel, list(c ORDER BY pos) AS cvec FROM (
+      |    SELECT label AS clabel, i AS pos,
+      |      round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      |    FROM embeddings, generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY clabel),
+      |assigned AS (
+      |  SELECT label, clabel FROM (
+      |    SELECT e.label, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(${V.dist2Sql("e.embedding", "c.cvec")}, 6), c.clabel) AS rn
+      |    FROM embeddings e CROSS JOIN cent c)
+      |  WHERE rn = 1)
+      |SELECT label, clabel AS assigned, count(*) AS n
+      |FROM assigned
+      |GROUP BY 1, 2
+      |ORDER BY label, assigned""".stripMargin))
+
+  /** ANN via random-hyperplane LSH: 8 deterministic md5-derived
+    * hyperplanes → 8-bit sign bucket → exact cosine only within the
+    * query's bucket. The scale path next to q48's exact baseline.
+    */
+  val q51 = Q(
+    "q51_ann_lsh_hyperplane",
+    (s, dir) => {
+      val planes = s.range(8).select(col("id").cast("int").as("p"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
+        .withColumn("w",
+          (Portable.md5Long(concat_ws(":", lit("hp"), col("p"), col("d"))) % 2001 - 1000) / 1000.0)
+      val pos = emb(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "pos0", "v")
+        .withColumn("d", col("pos0") + 1)
+      val buckets = pos.join(broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(sum(col("v").cast("double") * col("w")).as("dotp"))
+        .withColumn("bit", when(col("dotp") >= 0, 1L).otherwise(0L))
+        .groupBy("vec_id")
+        .agg(sum(expr("bit * CAST(pow(2, p) AS BIGINT)")).as("bucket"))
+      val wn = emb(s, dir).withColumn("nrm", V.norm("embedding"))
+        .join(buckets, "vec_id")
+      val qs = wn.filter(col("vec_id") < 20).select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+      wn.join(broadcast(qs),
+          col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(V.dot("qe", "embedding") / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH planes AS (
+      |  SELECT p, d,
+      |    (${Portable.md5LongSql("concat('hp:', p, ':', d)")} % 2001 - 1000) / 1000.0 AS w
+      |  FROM generate_series(0, 7) pp(p), generate_series(1, 64) dd(d)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum((CASE WHEN dotp >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, p) AS BIGINT)) AS BIGINT) AS bucket
+      |  FROM (
+      |    SELECT e.vec_id, pl.p,
+      |      sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.w) AS dotp
+      |    FROM embeddings e, planes pl
+      |    GROUP BY 1, 2)
+      |  GROUP BY vec_id),
+      |wn AS (
+      |  SELECT e.vec_id, e.embedding, ${V.normSql("e.embedding")} AS nrm, b.bucket
+      |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id)
+      |SELECT query_id, cand_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC,
+      |        c.vec_id) AS rn
+      |  FROM wn q JOIN wn c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20)
+      |WHERE rn <= 3
+      |ORDER BY query_id, rn""".stripMargin))
+
+  /** L5 multimodal row: text metadata ⋈ vector + derived features
+    * from both modalities in one result.
+    */
+  val q52 = Q(
+    "q52_multimodal_join",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .join(emb(s, dir), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"), col("label"),
+          round(V.norm("embedding"), 6).as("emb_norm"),
+          size(Portable.tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, lang, source, n_chars, label,
+      |  round(${V.normSql("embedding")}, 6) AS emb_norm,
+      |  CAST(len(${Portable.tokensSql("text")}) AS INTEGER) AS n_tokens
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.CsvIngest
+import org.apache.spark.sql.types._
+
+class CsvIngestSpec extends SparkSpec {
+
+  private def tmpCsv(content: String, name: String): String = {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("sniffs comma, semicolon, tab and pipe; comma fallback") {
+    assert(CsvIngest.sniffDelimiter(spark, tmpCsv("a,b,c\n1,2,3\n", "c.csv")) == ",")
+    assert(CsvIngest.sniffDelimiter(spark, tmpCsv("a;b;c\n1;2;3\n", "s.csv")) == ";")
+    assert(CsvIngest.sniffDelimiter(spark, tmpCsv("a\tb\tc\n1\t2\t3\n", "t.csv")) == "\t")
+    assert(CsvIngest.sniffDelimiter(spark, tmpCsv("a|b|c\n1|2|3\n", "p.csv")) == "|")
+    assert(CsvIngest.sniffDelimiter(spark, tmpCsv("single\nrow\n", "n.csv")) == ",")
+  }
+
+  test("ingest infers types from the sample and registers the view") {
+    val path = tmpCsv(
+      "id;price;flag;when\n1;1.5;true;2024-01-01\n2;2.5;false;2024-01-02\n",
+      "typed.csv")
+    val r = CsvIngest.ingest(spark, path, "My Table!", header = true)
+    assert(r.table == "My_Table_")
+    assert(r.delimiter == ";")
+    assert(r.rowCount == 2)
+    val byName = r.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("id") == IntegerType)
+    assert(byName("price") == DoubleType)
+    assert(byName("flag") == BooleanType)
+    assert(r.columns.toMap.apply("id") == "INT")
+    assert(spark.table("My_Table_").count() == 2)
+  }
+
+  test("schema is fixed by the sample — rows beyond it are parsed with it") {
+    // sample of 2 sees only ints; the later 'x' row must not widen the schema
+    val path = tmpCsv("a\n1\n2\n3\nx\n", "fixed.csv")
+    val r = CsvIngest.ingest(spark, path, "fixed", sampleRows = 2)
+    assert(r.schema.fields.head.dataType == IntegerType)
+    // the unparseable row becomes NULL under the fixed schema
+    assert(spark.table("fixed").where("a IS NULL").count() == 1)
+  }
+
+  test("headerless files use generated column names") {
+    val path = tmpCsv("1,2\n3,4\n", "nohdr.csv")
+    val r = CsvIngest.ingest(spark, path, "nohdr", header = false)
+    assert(r.schema.fieldNames.toSeq == Seq("_c0", "_c1"))
+    assert(r.rowCount == 2)
+  }
+}

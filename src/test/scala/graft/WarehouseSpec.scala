@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.Warehouse
+
+class WarehouseSpec extends SparkSpec {
+
+  private lazy val wh = new Warehouse(spark)
+
+  test("health probe") {
+    assert(wh.healthy())
+  }
+
+  test("external table lifecycle: create, exists, info, drop keeps data") {
+    val dir = Files.createTempDirectory("graft-wh")
+    val f = dir.resolve("ext.csv")
+    Files.writeString(f, "k,v\n1,a\n2,b\n")
+    wh.drop("ext_t")
+    wh.createExternalCsv("ext_t", f.toString)
+    assert(wh.exists("ext_t"))
+    assert(wh.listTables().contains("ext_t"))
+    val info = wh.info("ext_t")
+    assert(info.rowCount == 2)
+    assert(info.isExternal)
+    assert(info.columns.map(_._1) == Seq("k", "v"))
+    wh.refresh("ext_t")
+    wh.drop("ext_t")
+    assert(!wh.exists("ext_t"))
+    assert(Files.exists(f)) // EXTERNAL semantics: drop keeps the data
+  }
+
+  test("managed table lifecycle") {
+    import spark.implicits._
+    wh.drop("mng_t")
+    wh.createManaged("mng_t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    assert(wh.exists("mng_t"))
+    val info = wh.info("mng_t")
+    assert(info.rowCount == 3)
+    assert(!info.isExternal)
+    assert(wh.describe("mng_t").fieldNames.toSeq == Seq("k", "v"))
+    wh.drop("mng_t")
+    assert(!wh.exists("mng_t"))
+  }
+}
