@@ -16,6 +16,7 @@ object EngineDemo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-demo")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -50,7 +51,13 @@ object EngineDemo {
       .collect()
       .foreach(row => println(s"[demo] total ${row.getString(0)} = ${row.getDouble(1)}"))
 
-    // 5. flagship query over the fixtures
+    // 5. custom expression injected via SparkSessionExtensions
+    val h = spark.sql(
+      "SELECT md5long60('graft') AS fast, CAST(conv(substring(md5('graft'), 1, 15), 16, 10) AS BIGINT) AS portable")
+      .head()
+    println(s"[demo] md5long60 fast=${h.getLong(0)} portable=${h.getLong(1)} equal=${h.getLong(0) == h.getLong(1)}")
+
+    // 6. flagship query over the fixtures
     val flag = SparkEntry.entry(spark)
     println(s"[demo] flagship revenue-by-nation rows=${flag.count()}")
 

@@ -30,5 +30,6 @@ object Q {
       queries.TextOps.all ++
       queries.VectorOps.all ++
       queries.MultimodalOps.all ++
-      queries.StreamingOps.all
+      queries.StreamingOps.all ++
+      queries.Extended.all
 }
