@@ -61,6 +61,22 @@ object EngineDemo {
     val flag = SparkEntry.entry(spark)
     println(s"[demo] flagship revenue-by-nation rows=${flag.count()}")
 
+    // 7. streaming: sliding windows over the events fixture, run to
+    //    completion through a real MicroBatchExecution
+    val sliding = graft.streaming.EventStreams
+      .slidingCounts(spark, "/root/testdata/sf0.001", "demo_sliding")
+    println(s"[demo] streaming sliding windows=${sliding.count()}")
+
+    // 8. skew-safe aggregation
+    val salted = graft.functions.Skew.saltedAggregate(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      "l_returnflag", saltBuckets = 8,
+      partial = Seq(org.apache.spark.sql.functions.sum("l_quantity").as("ps")),
+      merge = Seq(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("ps"), 2).as("qty")))
+    salted.orderBy("l_returnflag").collect()
+      .foreach(r => println(s"[demo] salted qty ${r.get(0)} = ${r.get(1)}"))
+
     wh.drop("sales_ext")
     println(s"[demo] dropped; csv still present=${Files.exists(csv)}")
     spark.stop()

@@ -44,4 +44,42 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
   }
+
+  /** Sliding event-time window (T2), streaming form of q35. */
+  def slidingCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToCompletion(agg, "complete", queryName)
+      .select(unix_timestamp(col("window.start")).as("wstart"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows (T3) in append mode: emitted sessions are those
+    * the watermark has closed — a strict subset of the batch result
+    * (the trailing open session per user stays in state).
+    */
+  def sessionCounts(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    runToCompletion(agg, "append", queryName)
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sstart"),
+        col("n_events"), col("sum_value"))
+  }
+
+  private def runToCompletion(
+      agg: DataFrame, mode: String, queryName: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    agg.sparkSession.table(queryName)
+  }
 }

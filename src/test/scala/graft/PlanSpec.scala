@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions — the "would this survive 100×
+  * scale-up" checks: filters reach the parquet scan, projections
+  * prune the read schema, small dims broadcast, top-k avoids a full
+  * sort, identical self-join sides reuse one exchange.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan             => p.toString
+    }
+  }
+
+  private def q(name: String): DataFrame =
+    Q.registry.find(_.name == name).get.fn(spark, sf())
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val s = q("q01_pricing_summary").queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate filter must reach the scan")
+    assert(!s.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q04: both small dims join as broadcasts") {
+    val df = q("q04_revenue_by_nation")
+    df.collect() // finalize AQE
+    val s = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2,
+      s"expected >=2 broadcast joins, plan:\n${s.take(2000)}")
+  }
+
+  test("q25: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val s = q("q25_topk_orders").queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s.take(1000))
+  }
+
+  test("q40: self-join sides reuse one shuffle exchange") {
+    val df = q("q40_dedup_jaccard_blocked")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("ReusedExchange") || s.contains("reused"),
+      s"identical join sides should share an exchange:\n${s.take(2000)}")
+  }
+
+  test("q34: window aggregation keeps partial aggregation map-side") {
+    val s = q("q34_tumbling_window").queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+}

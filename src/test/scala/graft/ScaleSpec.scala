@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.Skew
+import org.apache.spark.sql.functions._
+
+/** Scale-path mechanics: bucketed co-located joins (no shuffle at
+  * join time) and salted aggregation for skewed keys.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.t(spark, sf(), "orders")
+    val c = Tables.t(spark, sf(), "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    // disable broadcast so the join itself must co-locate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchangesBeforeAgg = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size +
+        "Exchange hashpartitioning\\(c_custkey".r.findAllIn(plan).size
+      assert(exchangesBeforeAgg == 0,
+        s"bucketed join must not shuffle its inputs:\n${plan.take(2000)}")
+      // and the result is still right
+      val n = joined.agg(sum("count")).head().getLong(0)
+      assert(n == Tables.t(spark, sf(), "orders").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.t(spark, sf(), "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(
+      li, "l_returnflag", saltBuckets = 16,
+      partial = Seq(sum("l_quantity").as("ps"), count(lit(1)).as("pn")),
+      merge = Seq(sum("ps").as("s"), sum("pn").cast("long").as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+}

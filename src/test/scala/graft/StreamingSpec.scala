@@ -1,0 +1,29 @@
+package graft
+
+import graft.streaming.EventStreams
+
+/** Unified-model checks: each Structured Streaming operator's output
+  * against its batch twin over the same fixture.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def batch(name: String) =
+    Q.registry.find(_.name == name).get.fn(spark, sf())
+
+  test("streaming sliding windows equal the batch result") {
+    val stream = EventStreams.slidingCounts(spark, sf(), "spec_sliding")
+    val b = batch("q35_sliding_window")
+    assert(stream.count() == b.count())
+    assert(stream.exceptAll(b.select("wstart", "n", "sum_value")).isEmpty)
+  }
+
+  test("streaming sessionization emits a closed subset of batch sessions") {
+    val stream = EventStreams.sessionCounts(spark, sf(), "spec_session")
+    val b = batch("q36_session_window").select("user_id", "sstart", "n_events", "sum_value")
+    val emitted = stream.count()
+    assert(emitted > 0, "watermark should close most sessions over a 30-day fixture")
+    assert(stream.exceptAll(b).isEmpty,
+      "every emitted session must exist identically in the batch result")
+    assert(emitted <= b.count())
+  }
+}
