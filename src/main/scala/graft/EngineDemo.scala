@@ -31,15 +31,17 @@ object EngineDemo {
     Files.writeString(csv,
       "region;amount;when\nasia;10.5;2024-01-01\nasia;4.5;2024-01-02\neu;7.25;2024-01-01\n")
 
-    // 2. process-csv: sniff + infer + register
-    val r = CsvIngest.ingest(spark, csv.toString, "Sales Upload!")
+    // 2. process-csv: normalize upload layout, then sniff + infer + register
+    val loc = CsvIngest.normalizeUploadLayout(csv.toString)
+    println(s"[demo] upload normalized into dir=$loc")
+    val r = CsvIngest.ingest(spark, loc, "Sales Upload!")
     println(s"[demo] ingested table=${r.table} delim='${r.delimiter}' rows=${r.rowCount}")
     r.columns.foreach { case (n, t) => println(s"[demo]   column $n: $t") }
 
     // 3. catalog: external table + info
     val wh = new Warehouse(spark)
     wh.drop("sales_ext")
-    wh.createExternalCsv("sales_ext", csv.toString, header = true, delimiter = ";")
+    wh.createExternalCsv("sales_ext", loc, header = true, delimiter = ";")
     val info = wh.info("sales_ext")
     println(s"[demo] catalog tables=${wh.listTables().mkString(",")}")
     println(s"[demo] sales_ext rows=${info.rowCount} external=${info.isExternal}")
@@ -78,7 +80,8 @@ object EngineDemo {
       .foreach(r => println(s"[demo] salted qty ${r.get(0)} = ${r.get(1)}"))
 
     wh.drop("sales_ext")
-    println(s"[demo] dropped; csv still present=${Files.exists(csv)}")
+    println(s"[demo] dropped; csv still present=${
+      Files.exists(java.nio.file.Paths.get(loc, "sales.csv"))}")
     spark.stop()
   }
 }

@@ -22,6 +22,28 @@ object CsvIngest {
 
   val Candidates: Seq[Char] = Seq(',', ';', '\t', '|')
 
+  /** Object-layout normalization (reference csv_processor.py:43-71):
+    * a root-level upload `<dir>/<id>.csv` is moved into its own
+    * directory `<dir>/<id>/<id>.csv` so the directory can serve as a
+    * table LOCATION. Returns the directory path. No-op if already
+    * nested.
+    */
+  def normalizeUploadLayout(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val parent = p.getParent
+    val stem = p.getFileName.toString.replaceAll("\\.[^.]+$", "")
+    if (parent != null && parent.getFileName != null &&
+      parent.getFileName.toString == stem) {
+      parent.toString // already <id>/<id>.csv
+    } else {
+      val dir = parent.resolve(stem)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.move(p, dir.resolve(p.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+  }
+
   final case class IngestResult(
       table: String,
       delimiter: String,

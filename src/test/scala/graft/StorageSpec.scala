@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ingest.CsvIngest
+import org.apache.spark.sql.functions._
+
+/** Storage-layer coverage: ORC read/write (SURVEY §2.1 S8),
+  * partitioned writes with partition pruning, and the reference's
+  * upload-layout normalization (S3).
+  */
+class StorageSpec extends SparkSpec {
+
+  test("orc round-trip preserves schema and rows") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables.t(spark, sf(), "nation")
+    src.write.mode("overwrite").orc(s"$dir/nation_orc")
+    val back = spark.read.orc(s"$dir/nation_orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == 25)
+    assert(back.exceptAll(src).isEmpty)
+  }
+
+  test("partitioned write prunes partitions at scan time") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.t(spark, sf(), "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(s"$dir/orders_p")
+    val part = spark.read.parquet(s"$dir/orders_p").filter(col("yr") === 1996)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(yr"),
+      s"expected partition filter in scan:\n${plan.take(1500)}")
+    // pruned result matches a full-scan filter
+    val full = Tables.t(spark, sf(), "orders")
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(part.count() == full)
+    // physical layout: one directory per year
+    assert(Files.list(Paths.get(s"$dir/orders_p")).iterator().hasNext)
+  }
+
+  test("upload layout normalization nests root-level files") {
+    val dir = Files.createTempDirectory("graft-upl")
+    val f = dir.resolve("table42.csv")
+    Files.writeString(f, "a,b\n1,2\n")
+    val loc = CsvIngest.normalizeUploadLayout(f.toString)
+    assert(loc == dir.resolve("table42").toString)
+    assert(Files.exists(Paths.get(loc, "table42.csv")))
+    assert(!Files.exists(f))
+    // idempotent: second call recognizes the nested layout
+    assert(CsvIngest.normalizeUploadLayout(s"$loc/table42.csv") == loc)
+    // and the normalized dir ingests as a table location
+    val r = CsvIngest.ingest(spark, loc, "upl42")
+    assert(r.rowCount == 1)
+  }
+
+  test("DISTRIBUTE BY + SORT BY: rows are sorted within each partition") {
+    val df = Tables.t(spark, sf(), "orders")
+      .repartition(4, col("o_custkey"))          // DISTRIBUTE BY
+      .sortWithinPartitions(col("o_totalprice")) // SORT BY
+    val ok = df.select("o_totalprice").rdd
+      .mapPartitions { it =>
+        val v = it.map(_.getDouble(0)).toSeq
+        Iterator(v == v.sorted)
+      }.collect()
+    assert(ok.forall(identity), "each partition must be internally sorted")
+  }
+}
