@@ -61,7 +61,7 @@ object Extended {
   val q58 = Q(
     "q58_map_functions",
     (s, dir) => {
-      Tables.events(s, dir)
+      Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism)
         .withColumn("k", get_json_object(col("props"), "$.k"))
         .withColumn("m", expr("str_to_map(concat('type:', event_type, ',k:', k), ',', ':')"))
         .select(

@@ -161,7 +161,9 @@ object Scalars {
   val q32 = Q(
     "q32_json_extract_events",
     (s, dir) => {
-      Tables.events(s, dir)
+      // events fixture is one unsplittable parquet file; spread before
+      // the per-row JSON parse (same note as TextOps.docs)
+      Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy("event_type")
         .agg(

@@ -119,6 +119,11 @@ object TextOps {
       graft.functions.Md5Long60.register(s)
       val toks = docs(s, dir).filter(col("lang") === "en")
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+      // verify-side token sets as 60-bit hashes: set sizes (and thus
+      // Jaccard) are unchanged, but the 520k-pair verify stage
+      // intersects fixed-width longs instead of strings
+      val toksH = toks.select(col("doc_id"),
+        expr("transform(toks, t -> md5long60(t))").as("toks"))
       // The whole signature matrix (16 min-hashes → 4 band sigs) is
       // per-row array math inside one codegen'd projection: zero
       // shuffles before the bucket join (the explode+groupBy(min)
@@ -142,8 +147,8 @@ object TextOps {
         .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
         .distinct()
       cand
-        .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-        .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+        .join(toksH.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+        .join(toksH.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
         .withColumn("jac",
           size(array_intersect(col("ta"), col("tb"))) /
             size(array_union(col("ta"), col("tb"))))

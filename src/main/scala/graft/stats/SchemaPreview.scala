@@ -26,6 +26,10 @@ object SchemaPreview {
         round(avg(col(c)), 6).as(s"${c}__avg"),
         round(stddev_samp(col(c)), 6).as(s"${c}__std"))
     }
+    // NOTE: no repartition here even though the distinct-count Expand
+    // is map-heavy — avg/std are float sums whose value (at rounding
+    // boundaries) depends on fold order, and the oracle compare needs
+    // scan-order parity. Measured cost of keeping it: ~0.4s at sf0.1.
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
       struct(
