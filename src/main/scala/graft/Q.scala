@@ -23,6 +23,7 @@ object Q {
   /** All query modules, in SURVEY.md §2 category order. */
   def registry: Vector[Q] =
     queries.Relational.all ++
+      queries.Relational2.all ++
       queries.Aggregates.all ++
       queries.Analytics.all ++
       queries.Scalars.all ++

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Second relational batch: JSON→struct parsing, PIVOT, correlated
+  * subqueries (Catalyst decorrelates to joins), and the HiveQL
+  * LATERAL VIEW explode idiom.
+  */
+object Relational2 {
+
+  /** from_json with an explicit schema → typed struct access (the
+    * schema-on-read path for events.props at scale; get_json_object
+    * re-parses per extraction, from_json parses once).
+    */
+  val q62 = Q(
+    "q62_from_json_struct",
+    (s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .withColumn("j", from_json(col("props"), schema))
+        .filter(col("j.k").isNotNull && col("j.k") % 10 === 0)
+        .groupBy((col("j.k") / 10).cast("int").as("k_decile"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .orderBy("k_decile")
+    },
+    Some("""SELECT CAST(k / 10 AS INTEGER) AS k_decile,
+      |  count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+      |      FROM events)
+      |WHERE k IS NOT NULL AND k % 10 = 0
+      |GROUP BY 1
+      |ORDER BY k_decile""".stripMargin))
+
+  /** PIVOT with an explicit value list (deterministic columns);
+    * the oracle is the equivalent conditional aggregation.
+    */
+  val q63 = Q(
+    "q63_pivot_status",
+    (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("yr")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY yr""".stripMargin))
+
+  /** Correlated scalar subquery: customers above their nation's mean
+    * balance. Catalyst decorrelates this into an aggregate + join
+    * (RewritePredicateSubquery / decorrelation framework) — no
+    * per-row re-execution.
+    */
+  val q64 = Q(
+    "q64_correlated_subquery",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_nationkey, count(*) AS n_above,
+        |  round(avg(c_acctbal), 4) AS avg_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_above,
+      |  round(avg(c_acctbal), 4) AS avg_above
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin))
+
+  /** HiveQL LATERAL VIEW explode — the Hive idiom for table
+    * generators, run through Spark SQL verbatim.
+    */
+  val q65 = Q(
+    "q65_lateral_view_explode",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT tok, count(*) AS n, count(DISTINCT lang) AS n_langs
+        |FROM documents
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |WHERE tok != ''
+        |GROUP BY tok
+        |ORDER BY tok""".stripMargin)
+    },
+    Some("""SELECT tok, count(*) AS n, count(DISTINCT lang) AS n_langs
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok != ''
+      |GROUP BY tok
+      |ORDER BY tok""".stripMargin))
+
+  val all: Vector[Q] = Vector(q62, q63, q64, q65)
+}
