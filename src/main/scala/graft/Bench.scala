@@ -31,10 +31,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     // Warmup: touch every fixture file + run one representative query.
-    Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
-    materialize("q01_pricing_summary")
+    // Guarded: a broken fixture must not prevent the contract JSON
+    // line from being printed.
+    try {
+      Tables.all.foreach(n => Tables.t(spark, sfDir, n).count())
+      materialize("q01_pricing_summary")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = Q.registry.filter(_.bench).map(_.name).sorted
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try materialize(name)

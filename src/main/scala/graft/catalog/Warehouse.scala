@@ -22,7 +22,10 @@ final class Warehouse(spark: SparkSession) {
       header: Boolean = true, delimiter: String = ","): Unit =
     spark.sql(
       s"""CREATE TABLE ${q(name)} USING CSV
-         |OPTIONS (path '$path', header '$header', sep '$delimiter')""".stripMargin)
+         |OPTIONS (path ${lit(path)}, header '$header', sep ${lit(delimiter)})""".stripMargin)
+
+  /** Escape a string option value for embedding in DDL. */
+  private def lit(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** Managed-table sink (reference hive_manager.py:234-268): data is
     * copied into the warehouse. The reference's 10k-row batched
@@ -75,5 +78,5 @@ final class Warehouse(spark: SparkSession) {
   def healthy(): Boolean =
     spark.sql("SELECT 1").collect().headOption.exists(_.getInt(0) == 1)
 
-  private def q(n: String) = "`" + n.replace("`", "``") + "`"
+  private def q(n: String) = graft.types.Types.quote(n)
 }

@@ -30,13 +30,6 @@ object Portable {
   def md5LongSql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
-  /** Seeded variant: hash of (seed || ':' || value). */
-  def seededMd5Long(c: Column, seed: Int): Column =
-    md5Long(concat_ws(":", lit(seed.toString), c))
-
-  def seededMd5LongSql(expr: String, seed: Int): String =
-    md5LongSql(s"concat('$seed', ':', $expr)")
-
   /** Whitespace tokenization shared by the text operators: split on
     * runs of whitespace, drop empties (Spark `split` and DuckDB
     * `string_split_regex` both emit empty strings at the boundaries).

@@ -29,7 +29,8 @@ object CsvIngest {
     * nested.
     */
   def normalizeUploadLayout(path: String): String = {
-    val p = java.nio.file.Paths.get(path)
+    // absolute form so a bare relative filename still has a parent
+    val p = java.nio.file.Paths.get(path).toAbsolutePath
     val parent = p.getParent
     val stem = p.getFileName.toString.replaceAll("\\.[^.]+$", "")
     if (parent != null && parent.getFileName != null &&

@@ -17,11 +17,8 @@ object StreamingOps {
     (s, dir) =>
       EventStreams.tumblingCounts(s, dir, "q56_sink")
         .orderBy("wstart", "event_type"),
-    Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS wstart,
-      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-      |FROM events
-      |GROUP BY 1, 2
-      |ORDER BY wstart, event_type""".stripMargin))
+    // the batch tumbling oracle IS the streaming oracle — unified model
+    Events.q34.oracle)
 
   val all: Vector[Q] = Vector(q56)
 }

@@ -130,22 +130,27 @@ object VectorOps {
   val q51 = Q(
     "q51_ann_lsh_hyperplane",
     (s, dir) => {
-      val planes = s.range(8).select(col("id").cast("int").as("p"))
-        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
-        .withColumn("w",
-          (Portable.md5Long(concat_ws(":", lit("hp"), col("p"), col("d"))) % 2001 - 1000) / 1000.0)
-      val pos = emb(s, dir)
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-        .toDF("vec_id", "label", "pos0", "v")
-        .withColumn("d", col("pos0") + 1)
-      val buckets = pos.join(broadcast(planes), "d")
-        .groupBy("vec_id", "p")
-        .agg(sum(col("v").cast("double") * col("w")).as("dotp"))
-        .withColumn("bit", when(col("dotp") >= 0, 1L).otherwise(0L))
-        .groupBy("vec_id")
-        .agg(sum(expr("bit * CAST(pow(2, p) AS BIGINT)")).as("bucket"))
-      val wn = emb(s, dir).withColumn("nrm", V.norm("embedding"))
-        .join(buckets, "vec_id")
+      graft.functions.Md5Long60.register(s)
+      // The whole 8-bit sign bucket is ONE per-row expression: each
+      // plane's dot product is a left-to-right aggregate() fold, so
+      // the sign of a near-zero dot is deterministic and identical to
+      // the oracle's fold (a shuffled sum() here would make bucket
+      // membership fold-order-dependent). Also zero shuffles vs the
+      // posexplode+groupBy formulation.
+      val bucketExpr = expr(
+        """aggregate(transform(sequence(0, 7), p ->
+          |  CASE WHEN aggregate(
+          |    zip_with(embedding,
+          |      transform(sequence(1, 64), d ->
+          |        (md5long60(concat('hp:', CAST(p AS STRING), ':', CAST(d AS STRING)))
+          |          % 2001 - 1000) / 1000.0),
+          |      (x, w) -> CAST(x AS DOUBLE) * w),
+          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+          |  THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+      val wn = emb(s, dir)
+        .withColumn("nrm", V.norm("embedding"))
+        .withColumn("bucket", bucketExpr)
       val qs = wn.filter(col("vec_id") < 20).select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -158,22 +163,17 @@ object VectorOps {
         .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"), col("rn"))
         .orderBy("query_id", "rn")
     },
-    Some(s"""WITH planes AS (
-      |  SELECT p, d,
-      |    (${Portable.md5LongSql("concat('hp:', p, ':', d)")} % 2001 - 1000) / 1000.0 AS w
-      |  FROM generate_series(0, 7) pp(p), generate_series(1, 64) dd(d)),
-      |buckets AS (
-      |  SELECT vec_id,
-      |    CAST(sum((CASE WHEN dotp >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, p) AS BIGINT)) AS BIGINT) AS bucket
-      |  FROM (
-      |    SELECT e.vec_id, pl.p,
-      |      sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.w) AS dotp
-      |    FROM embeddings e, planes pl
-      |    GROUP BY 1, 2)
-      |  GROUP BY vec_id),
-      |wn AS (
-      |  SELECT e.vec_id, e.embedding, ${V.normSql("e.embedding")} AS nrm, b.bucket
-      |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id)
+    Some(s"""WITH wn AS (
+      |  SELECT vec_id, embedding, ${V.normSql("embedding")} AS nrm,
+      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |      CASE WHEN list_sum(list_transform(
+      |        list_zip(embedding,
+      |          list_transform(range(1, 65), d ->
+      |            (${Portable.md5LongSql("concat('hp:', p, ':', d)")}
+      |              % 2001 - 1000) / 1000.0)),
+      |        x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+      |      THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings)
       |SELECT query_id, cand_id, cos, CAST(rn AS INTEGER) AS rn FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
       |    round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos,

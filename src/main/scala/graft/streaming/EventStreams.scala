@@ -32,14 +32,7 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    runToCompletion(agg, "complete", queryName)
       .select(
         unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("n"), col("sum_value"))

@@ -68,8 +68,10 @@ def main():
             for x, y in zip(na, nb):
                 if x is None and y is None:
                     continue
+                # NaN floats were normalized to the string "NaN" above,
+                # so float compare here is plain equality
                 if isinstance(x, float) and isinstance(y, float):
-                    if x != y and not (math.isnan(x) and math.isnan(y)):
+                    if x != y:
                         eq = False
                 elif str(x) != str(y):
                     eq = False
