@@ -205,5 +205,95 @@ object VectorOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52)
+  /** IVF-style search (the "coarse quantizer" scale path next to
+    * LSH): vectors are assigned to their nearest centroid cell
+    * (nprobe=1), and each query searches only its own cell — the
+    * candidate set shrinks by ~|cells|× at the cost of recall near
+    * cell boundaries.
+    */
+  val q66 = Q(
+    "q66_ivf_search",
+    (s, dir) => {
+      val cents = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "pos0", "v")
+        .groupBy(col("label").as("clabel"), (col("pos0") + 1).as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      val assigned = emb(s, dir).crossJoin(broadcast(cents))
+        .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("clabel").as("cell"))
+        .withColumn("nrm", V.norm("embedding"))
+      val qs = assigned.filter(col("vec_id") < 20).select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+      assigned.join(broadcast(qs),
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(V.dot("qe", "embedding") / (col("qn") * col("nrm")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT clabel, list(c ORDER BY pos) AS cvec FROM (
+      |    SELECT label AS clabel, i AS pos,
+      |      round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      |    FROM embeddings, generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY clabel),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell,
+      |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(${V.dist2Sql("e.embedding", "c.cvec")}, 6), c.clabel) AS rn
+      |    FROM embeddings e CROSS JOIN cent c)
+      |  WHERE rn = 1)
+      |SELECT query_id, cand_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(${V.dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) DESC,
+      |        c.vec_id) AS rn
+      |  FROM assigned q JOIN assigned c
+      |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 20)
+      |WHERE rn <= 3
+      |ORDER BY query_id, rn""".stripMargin))
+
+  /** Embedding-cosine near-dup detection, blocked by label (the
+    * metadata-blocking pattern: exact cosine only within a block, so
+    * pair volume is Σ blockᵢ² — same scale shape as the text dedups).
+    */
+  val q67 = Q(
+    "q67_dedup_embedding_blocked",
+    (s, dir) => {
+      val wn = emb(s, dir).withColumn("nrm", V.norm("embedding"))
+      wn.select(col("vec_id").as("va"), col("label").as("la"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(wn.select(col("vec_id").as("vb"), col("label").as("lb"),
+          col("embedding").as("eb"), col("nrm").as("nb")),
+          col("la") === col("lb") && col("va") < col("vb"))
+        .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select(col("va"), col("vb"), col("la").as("label"), col("cos"))
+        .orderBy("va", "vb")
+    },
+    Some(s"""WITH wn AS (
+      |  SELECT vec_id, label, embedding, ${V.normSql("embedding")} AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+      |  round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+      |FROM wn a JOIN wn b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.4
+      |ORDER BY va, vb""".stripMargin))
+
+  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52, q66, q67)
 }
