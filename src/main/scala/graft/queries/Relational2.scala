@@ -18,7 +18,12 @@ object Relational2 {
     "q62_from_json_struct",
     (s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
-      Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism)
+      // NO repartition here: avg(value) sums true doubles, and rounded
+      // float aggregates need scan-order parity with the oracle
+      // (observed: a 1-ulp avg divergence at sf0.1 with a repartition).
+      // q32 tolerates its repartition only because its avg is over
+      // integer values, whose double sums are exact in any order.
+      Tables.events(s, dir)
         .withColumn("j", from_json(col("props"), schema))
         .filter(col("j.k").isNotNull && col("j.k") % 10 === 0)
         .groupBy((col("j.k") / 10).cast("int").as("k_decile"))
