@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the §2.9 event-time operators. The
   * aggregation expressions are identical to the batch versions in
@@ -62,6 +63,74 @@ object EventStreams {
         col("user_id"),
         unix_timestamp(col("session_window.start")).as("sstart"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** Event for the custom-state sessionizer. `ts` carries the
+    * watermarked event-time column (the stateful operator requires it
+    * to stay in the plan); `us` is its micros-since-epoch form the
+    * session logic uses.
+    */
+  final case class SessEvent(
+      user_id: Long, ts: java.sql.Timestamp, us: Long, value: Double)
+
+  /** Closed session emitted by the custom-state sessionizer. */
+  final case class Session(user_id: Long, sstart: Long, n_events: Long, sum_value: Double)
+
+  /** Open-session state carried across micro-batches. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  private val GapUs = 1800000000L // 30 minutes
+
+  /** T5 custom state: per-user sessionization via
+    * flatMapGroupsWithState with an event-time timeout. Sessions
+    * close when the watermark passes lastEvent+gap (timeout) or when
+    * a later event arrives beyond the gap; the open session survives
+    * in `GroupState` across micro-batches — the semantics
+    * session_window provides declaratively, expressed as custom
+    * state logic for cases the built-in can't cover (dynamic gaps,
+    * per-session enrichment, ...).
+    */
+  def sessionizeFn(
+      uid: Long, events: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[Session] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    def close(st: SessState): Unit =
+      out += Session(uid, st.startUs / 1000000L, st.n, st.sum)
+    if (state.hasTimedOut) {
+      state.getOption.foreach(close)
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toArray.sortBy(_.us).foreach { e =>
+        cur match {
+          case Some(st) if e.us - st.lastUs < GapUs =>
+            cur = Some(SessState(st.startUs, e.us, st.n + 1, st.sum + e.value))
+          case Some(st) =>
+            close(st)
+            cur = Some(SessState(e.us, e.us, 1L, e.value))
+          case None =>
+            cur = Some(SessState(e.us, e.us, 1L, e.value))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000L + GapUs / 1000L)
+      }
+    }
+    out.iterator
+  }
+
+  /** Run the custom-state sessionizer over an event stream. */
+  def statefulSessions(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeFn)
   }
 
   private def runToCompletion(

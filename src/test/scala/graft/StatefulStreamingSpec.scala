@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** flatMapGroupsWithState sessionizer: state must carry across
+  * micro-batches (the behavior batch execution cannot show) and the
+  * closed-session stream must agree with the declarative
+  * session_window batch result.
+  */
+class StatefulStreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 + m
+
+  test("open session state survives micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.statefulSessions(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stateful_spec").start()
+    try {
+      // batch 1: two events of one session for user 7
+      input.addData((7L, ts(0), 1.0), (7L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stateful_spec").count() == 0, "session still open")
+      // batch 2: an event 40min later (beyond the 30min gap) closes
+      // the session started in batch 1 — requires carried state
+      input.addData((7L, ts(50), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_spec")
+        .select("user_id", "n_events", "sum_value").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 7L)
+      assert(rows.head.getLong(1) == 2L)   // both batch-1 events
+      assert(rows.head.getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("closed sessions from the fixture match the batch session_window result") {
+    val stream = EventStreams.statefulSessions(
+      graft.streaming.EventStreams.readEvents(spark, sf()))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("stateful_fixture").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("stateful_fixture")
+      .select(col("user_id"), col("sstart"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+    val batch = Q.registry.find(_.name == "q36_session_window").get
+      .fn(spark, sf())
+      .select("user_id", "sstart", "n_events", "sum_value")
+    assert(emitted.count() > 0)
+    assert(emitted.exceptAll(batch).isEmpty,
+      "every closed session must exist identically in the batch result")
+  }
+}
