@@ -104,5 +104,69 @@ object Relational2 {
       |GROUP BY tok
       |ORDER BY tok""".stripMargin))
 
-  val all: Vector[Q] = Vector(q62, q63, q64, q65)
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL) over order
+    * years per priority class — duplicates preserved, so the result
+    * is a bag difference/intersection, not a set one.
+    */
+  val q68 = Q(
+    "q68_setops_all",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(year(col("o_orderdate")).as("yr"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(year(col("o_orderdate")).as("yr"))
+      val i = urgent.intersectAll(high).withColumn("op", lit("intersect_all"))
+      val e = urgent.exceptAll(high).withColumn("op", lit("except_all"))
+      i.unionAll(e)
+        .groupBy("op", "yr").agg(count(lit(1)).as("n"))
+        .orderBy("op", "yr")
+    },
+    Some("""SELECT op, yr, count(*) AS n FROM (
+      |  SELECT 'intersect_all' AS op, yr FROM (
+      |    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders
+      |    WHERE o_orderpriority = '1-URGENT'
+      |    INTERSECT ALL
+      |    SELECT CAST(year(o_orderdate) AS INTEGER) FROM orders
+      |    WHERE o_orderpriority = '2-HIGH')
+      |  UNION ALL
+      |  SELECT 'except_all' AS op, yr FROM (
+      |    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders
+      |    WHERE o_orderpriority = '1-URGENT'
+      |    EXCEPT ALL
+      |    SELECT CAST(year(o_orderdate) AS INTEGER) FROM orders
+      |    WHERE o_orderpriority = '2-HIGH'))
+      |GROUP BY op, yr
+      |ORDER BY op, yr""".stripMargin))
+
+  /** nth_value over a full frame + first/last in one window. */
+  val q69 = Q(
+    "q69_window_nth_value",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("top1_bal", first(col("c_acctbal")).over(w))
+        .withColumn("top2_bal", nth_value(col("c_acctbal"), 2).over(w))
+        .withColumn("bottom_bal", last(col("c_acctbal")).over(w))
+        .filter(col("c_custkey") <= 200)
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  first_value(c_acctbal) OVER w AS top1_bal,
+      |  nth_value(c_acctbal, 2) OVER w AS top2_bal,
+      |  last_value(c_acctbal) OVER w AS bottom_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |QUALIFY c_custkey <= 200
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(q62, q63, q64, q65, q68, q69)
 }
