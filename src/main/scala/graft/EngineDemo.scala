@@ -70,12 +70,12 @@ object EngineDemo {
     println(s"[demo] streaming sliding windows=${sliding.count()}")
 
     // 8. skew-safe aggregation
+    import org.apache.spark.sql.functions.{round, sum}
     val salted = graft.functions.Skew.saltedAggregate(
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
       "l_returnflag", saltBuckets = 8,
-      partial = Seq(org.apache.spark.sql.functions.sum("l_quantity").as("ps")),
-      merge = Seq(org.apache.spark.sql.functions.round(
-        org.apache.spark.sql.functions.sum("ps"), 2).as("qty")))
+      partial = Seq(sum("l_quantity").as("ps")),
+      merge = Seq(round(sum("ps"), 2).as("qty")))
     salted.orderBy("l_returnflag").collect()
       .foreach(r => println(s"[demo] salted qty ${r.get(0)} = ${r.get(1)}"))
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -143,12 +144,10 @@ object Relational2 {
   val q69 = Q(
     "q69_window_nth_value",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.t(s, dir, "customer")
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
         .withColumn("top1_bal", first(col("c_acctbal")).over(w))

@@ -25,6 +25,30 @@ object VectorOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
+  /** Per-label centroid vectors as rounded arrays (shared by q50 and
+    * q66; q49 keeps the long format as its output contract).
+    */
+  private def centroidVectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos0", "v")
+      .groupBy(col("label").as("clabel"), (col("pos0") + 1).as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+
+  /** Rank (query, candidate) pairs by rounded cosine and keep top-k.
+    * `pairs` must carry (query_id, qe, qn) and (cand_id, ce, cn).
+    */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("cos", round(V.dot("qe", "ce") / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+
   /** Brute-force cosine top-5 for the first 20 vectors — the exact
     * baseline an ANN variant is judged against. Query side is
     * broadcast; ranking keys on the rounded cosine with id tiebreak
@@ -39,14 +63,9 @@ object VectorOps {
         col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       val cand = wn.select(
         col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-      cand.crossJoin(broadcast(qs))
-        .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cos", round(V.dot("qe", "ce") / (col("qn") * col("cn")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
-        .orderBy("query_id", "rn")
+      rankTopK(
+        cand.crossJoin(broadcast(qs)).filter(col("query_id") =!= col("cand_id")),
+        k = 5)
     },
     Some(s"""WITH wn AS (
       |  SELECT vec_id, embedding, ${V.normSql("embedding")} AS nrm
@@ -88,14 +107,7 @@ object VectorOps {
   val q50 = Q(
     "q50_nearest_centroid_confusion",
     (s, dir) => {
-      val cents = emb(s, dir)
-        .select(col("label"), posexplode(col("embedding")))
-        .toDF("label", "pos0", "v")
-        .groupBy(col("label").as("clabel"), (col("pos0") + 1).as("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("c"))
-        .groupBy("clabel")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
-      emb(s, dir).crossJoin(broadcast(cents))
+      emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
         .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))))
@@ -154,14 +166,13 @@ object VectorOps {
       val qs = wn.filter(col("vec_id") < 20).select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
-      wn.join(broadcast(qs),
-          col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
-        .withColumn("cos", round(V.dot("qe", "embedding") / (col("qn") * col("nrm")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"), col("rn"))
-        .orderBy("query_id", "rn")
+      val cand = wn.select(
+        col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("bucket"))
+      rankTopK(
+        cand.join(broadcast(qs),
+          col("bucket") === col("qb") && col("cand_id") =!= col("query_id")),
+        k = 3)
     },
     Some(s"""WITH wn AS (
       |  SELECT vec_id, embedding, ${V.normSql("embedding")} AS nrm,
@@ -214,14 +225,7 @@ object VectorOps {
   val q66 = Q(
     "q66_ivf_search",
     (s, dir) => {
-      val cents = emb(s, dir)
-        .select(col("label"), posexplode(col("embedding")))
-        .toDF("label", "pos0", "v")
-        .groupBy(col("label").as("clabel"), (col("pos0") + 1).as("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("c"))
-        .groupBy("clabel")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
-      val assigned = emb(s, dir).crossJoin(broadcast(cents))
+      val assigned = emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
         .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))))
@@ -231,14 +235,13 @@ object VectorOps {
       val qs = assigned.filter(col("vec_id") < 20).select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell").as("qcell"))
-      assigned.join(broadcast(qs),
-          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
-        .withColumn("cos", round(V.dot("qe", "embedding") / (col("qn") * col("nrm")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rn") <= 3)
-        .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"), col("rn"))
-        .orderBy("query_id", "rn")
+      val cand = assigned.select(
+        col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+      rankTopK(
+        cand.join(broadcast(qs),
+          col("cell") === col("qcell") && col("cand_id") =!= col("query_id")),
+        k = 3)
     },
     Some(s"""WITH cent AS (
       |  SELECT clabel, list(c ORDER BY pos) AS cvec FROM (
