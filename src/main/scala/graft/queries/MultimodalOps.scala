@@ -67,5 +67,34 @@ object MultimodalOps {
     },
     None)
 
-  val all: Vector[Q] = Vector(q53, q54, q55)
+  /** Frame sampling over the binary payload: treat the 32-byte
+    * payload as 4 8-byte "frames" and sample frames 1 and 3 (stride
+    * 2) — the resize/frame-sample plumbing of a video pipeline, with
+    * the oracle mirroring the byte arithmetic in the hex domain.
+    */
+  val q54b = Q(
+    "q54b_media_frame_sample",
+    (s, dir) => {
+      MediaPipeline.withPayload(Tables.t(s, dir, "documents"))
+        .withColumn("hexp", hex(col("payload")))
+        .select(
+          col("doc_id"), col("kind"),
+          (length(col("payload")) / 8).cast("int").as("n_frames"),
+          substring(col("hexp"), 1, 16).as("frame0"),
+          substring(col("hexp"), 33, 16).as("frame2"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |       WHEN n_chars % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  4 AS n_frames,
+      |  substr(hexp, 1, 16) AS frame0,
+      |  substr(hexp, 33, 16) AS frame2
+      |FROM (SELECT doc_id, n_chars,
+      |        upper(md5(text) || md5(text || '1')) AS hexp
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q53, q54, q54b, q55)
 }

@@ -42,6 +42,26 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops replays across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_spec").start()
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0)) // dup inside batch
+      q.processAllAvailable()
+      input.addData((1L, ts(2), 3.0)) // replay in a later micro-batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup_spec").collect()
+      assert(rows.length == 1, "replays within the watermark must be dropped")
+      assert(rows.head.getDouble(2) == 1.0) // first occurrence wins
+    } finally q.stop()
+  }
+
   test("closed sessions from the fixture match the batch session_window result") {
     val stream = EventStreams.statefulSessions(
       graft.streaming.EventStreams.readEvents(spark, sf()))

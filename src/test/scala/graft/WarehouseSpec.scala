@@ -30,6 +30,16 @@ class WarehouseSpec extends SparkSpec {
     assert(Files.exists(f)) // EXTERNAL semantics: drop keeps the data
   }
 
+  test("external table path containing a quote is escaped in DDL") {
+    val dir = Files.createTempDirectory("graft-o'brien")
+    val f = dir.resolve("q.csv")
+    Files.writeString(f, "a,b\n1,x\n")
+    wh.drop("quoted_t")
+    wh.createExternalCsv("quoted_t", f.toString)
+    assert(wh.info("quoted_t").rowCount == 1)
+    wh.drop("quoted_t")
+  }
+
   test("managed table lifecycle") {
     import spark.implicits._
     wh.drop("mng_t")
