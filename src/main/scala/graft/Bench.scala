@@ -43,19 +43,26 @@ object Bench {
     // Best of 2 runs per query: single-JVM timings on a shared host
     // carry scheduler/GC jitter; the min reflects steady-state cost.
     val names = Q.registry.filter(_.bench).map(_.name).sorted
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try materialize(name)
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // -1 sentinel: a crashed query must not report its (near-zero)
+      // failure time as if it ran.
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,13 +16,21 @@ final class Warehouse(spark: SparkSession) {
     * stays at `path` (reference hive_manager.py:135-222). Dropping it
     * later leaves the files in place — Spark's rule for tables with
     * an explicit path matches Hive's EXTERNAL semantics.
+    *
+    * Like the reference (sanitize at hive_manager.py:140), the raw
+    * name is sanitized before DDL — Spark's session catalog rejects
+    * identifiers outside [a-zA-Z0-9_] even when quoted. Returns the
+    * name actually registered.
     */
   def createExternalCsv(
       name: String, path: String,
-      header: Boolean = true, delimiter: String = ","): Unit =
+      header: Boolean = true, delimiter: String = ","): String = {
+    val t = graft.types.Types.sanitizeTableName(name)
     spark.sql(
-      s"""CREATE TABLE ${q(name)} USING CSV
+      s"""CREATE TABLE ${q(t)} USING CSV
          |OPTIONS (path ${lit(path)}, header '$header', sep ${lit(delimiter)})""".stripMargin)
+    t
+  }
 
   /** Escape a string option value for embedding in DDL. */
   private def lit(v: String): String = "'" + v.replace("'", "''") + "'"
@@ -32,8 +40,14 @@ final class Warehouse(spark: SparkSession) {
     * INSERT with per-row salvage is unnecessary — Spark task writes
     * are atomic (SURVEY.md §2.1 S5).
     */
-  def createManaged(name: String, df: DataFrame): Unit =
-    df.write.saveAsTable(name)
+  def createManaged(name: String, df: DataFrame): String = {
+    // same sanitize-then-quote rule as createExternalCsv: a raw name
+    // needing escaping (dash, space) would otherwise throw only on
+    // this path (reference sanitizes at hive_manager.py:140)
+    val t = graft.types.Types.sanitizeTableName(name)
+    df.write.saveAsTable(q(t))
+    t
+  }
 
   /** DROP TABLE IF EXISTS (hive_manager.py:120-133). */
   def drop(name: String): Unit =
@@ -45,11 +59,11 @@ final class Warehouse(spark: SparkSession) {
 
   /** SHOW TABLES LIKE 'x' existence probe (hive_manager.py:105-118). */
   def exists(name: String): Boolean =
-    spark.catalog.tableExists(name)
+    spark.catalog.tableExists(q(name))
 
   /** DESCRIBE (hive_manager.py:396). */
   def describe(name: String): StructType =
-    spark.table(name).schema
+    spark.table(q(name)).schema
 
   final case class TableInfo(
       name: String, columns: Seq[(String, String)],
@@ -59,7 +73,7 @@ final class Warehouse(spark: SparkSession) {
     * (reference get_table_info, hive_manager.py:386-419).
     */
   def info(name: String): TableInfo = {
-    val df = spark.table(name)
+    val df = spark.table(q(name))
     val external = spark.sql(s"DESCRIBE EXTENDED ${q(name)}")
       .collect()
       .exists(r => r.getString(0) == "Type" && r.getString(1).contains("EXTERNAL"))

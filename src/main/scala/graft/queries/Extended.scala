@@ -63,6 +63,9 @@ object Extended {
     (s, dir) => {
       Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism)
         .withColumn("k", get_json_object(col("props"), "$.k"))
+        // guard against props rows lacking '$.k' — the oracle emits
+        // constant mkeys/msize, so a NULL k would silently diverge
+        .filter(col("k").isNotNull)
         .withColumn("m", expr("str_to_map(concat('type:', event_type, ',k:', k), ',', ':')"))
         .select(
           col("event_id"),
@@ -78,6 +81,7 @@ object Extended {
       |  2 AS msize,
       |  event_type AS mtype
       |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY event_id""".stripMargin))
 
   /** UDF/UDAF surface (SURVEY.md §2.10): a registered scalar Scala

@@ -124,7 +124,7 @@ object TextOps {
       // intersects fixed-width longs instead of strings
       val toksH = toks.select(col("doc_id"),
         expr("transform(toks, t -> md5long60(t))").as("toks"))
-      // The whole signature matrix (16 min-hashes → 4 band sigs) is
+      // The whole signature matrix (16 min-hashes → 2 band sigs) is
       // per-row array math inside one codegen'd projection: zero
       // shuffles before the bucket join (the explode+groupBy(min)
       // formulation shuffles |docs|×|tokens|×16 rows — needless).

@@ -8,6 +8,20 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("README query counts match the registry (doc drift fails here)") {
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """(\d+) queries total; (\d+) are DuckDB-oracle-checked""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README.md is missing the query-count sentence"))
+    assert(m.group(1).toInt == Q.registry.size,
+      s"README says ${m.group(1)} total, registry has ${Q.registry.size}")
+    val oracled = Q.registry.count(_.oracle.isDefined)
+    assert(m.group(2).toInt == oracled,
+      s"README says ${m.group(2)} oracle-checked, registry has $oracled")
+  }
+
   test("entry flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -52,4 +52,16 @@ class WarehouseSpec extends SparkSpec {
     wh.drop("mng_t")
     assert(!wh.exists("mng_t"))
   }
+
+  test("managed table from a raw name is sanitized like the reference") {
+    import spark.implicits._
+    wh.drop("mng_dash")
+    // Spark's catalog rejects '-' even backtick-quoted; the reference
+    // sanitizes raw names before DDL (hive_manager.py:140) and so do we
+    val t = wh.createManaged("mng-dash", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(t == "mng_dash")
+    assert(wh.exists(t))
+    assert(wh.info(t).rowCount == 2)
+    wh.drop(t)
+  }
 }
