@@ -24,6 +24,7 @@ object Q {
   def registry: Vector[Q] =
     queries.Relational.all ++
       queries.Relational2.all ++
+      queries.Relational3.all ++
       queries.Aggregates.all ++
       queries.Analytics.all ++
       queries.Scalars.all ++
@@ -32,5 +33,6 @@ object Q {
       queries.VectorOps.all ++
       queries.MultimodalOps.all ++
       queries.StreamingOps.all ++
-      queries.Extended.all
+      queries.Extended.all ++
+      queries.PipelineOps.all
 }

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the q39-q55 set (SURVEY.md
+  * §2.13 / BASELINE north-star): deterministic dataset splitting,
+  * cohort retention, TF-IDF term extraction, token-window chunking,
+  * keeper-policy dedup, stratified sampling, and funnel analysis.
+  *
+  * Scale notes: every operator is a constant number of shuffles over
+  * key-partitioned data — no driver-side collection, no O(n²) pair
+  * spaces. Pseudo-randomness (splits, samples) is the portable
+  * md5-based hash ([[Portable.md5Long]]) so results are reproducible
+  * across engines, runs, AND cluster sizes — the property a 100 TB
+  * train/eval split must have (re-running the split on different
+  * hardware must not move documents between splits).
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  /** Deterministic train/valid/test split by content-independent hash
+    * of the stable document id (80/10/10). Hash-mod splitting is the
+    * canonical scale-out form: stateless, shuffle-free (the split
+    * column is a per-row projection), and stable under re-partitioning.
+    */
+  val q70 = Q(
+    "q70_hash_split",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("b",
+          pmod(Portable.md5Long(concat(lit("split:"), col("doc_id").cast("string"))), lit(10)))
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "valid").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+    Some(s"""SELECT lang,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (SELECT lang, n_chars,
+      |        ${Portable.md5LongSql("concat('split:', CAST(doc_id AS VARCHAR))")} % 10 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin))
+
+  /** Weekly cohort retention over the event stream: users grouped by
+    * first-seen week, counted at each later active week offset. Week
+    * indexing is integer epoch-day math (Monday-anchored), not
+    * date_trunc — identical in every engine and timezone.
+    */
+  val q72 = Q(
+    "q72_cohort_retention",
+    (s, dir) => {
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), to_date(lit("1970-01-05"))) / 7).as("w"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("w").as("cw"))
+      wk.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("w") - col("cw")).as("off"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cw", "off")
+    },
+    Some("""WITH wk AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT) AS w
+      |  FROM events),
+      |coh AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+      |SELECT cw, w - cw AS off, count(DISTINCT wk.user_id) AS n_users
+      |FROM wk JOIN coh USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cw, off""".stripMargin))
+
+  /** TF-IDF top-3 terms per document. The idf factor is the raw
+    * inverse document frequency N/df (no logarithm): IEEE requires
+    * correctly-rounded divide/multiply, so the ranking score is
+    * bit-identical across engines, while transcendentals (ln) are NOT
+    * so guaranteed and could flip a rank at a tie boundary.
+    */
+  val q73 = Q(
+    "q73_tfidf_topterms",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val nt = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ndocs = docs(s, dir).agg(countDistinct("doc_id").as("ndocs"))
+      tf.join(nt, "doc_id")
+        .join(broadcast(dfc), "tok")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("score", (col("cnt") / col("nt")) * (col("ndocs") / col("df")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok").as("term"),
+          round(col("score"), 6).as("tfidf"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |nt AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+      |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM documents)
+      |SELECT doc_id, term, tfidf, rnk FROM (
+      |  SELECT tf.doc_id, tf.tok AS term,
+      |    round((cnt / nt) * (ndocs / df), 6) AS tfidf,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY (cnt / nt) * (ndocs / df) DESC, tf.tok) AS INTEGER) AS rnk
+      |  FROM tf JOIN nt USING (doc_id) JOIN dfc ON tf.tok = dfc.tok CROSS JOIN nd)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin))
+
+  /** Fixed-size token-window chunking (50-token chunks, stride 40 →
+    * 10-token overlap) — the standard pre-tokenization step before
+    * packing training sequences. Chunks stay inside one row's
+    * projection (sequence + slice): zero shuffles, arbitrarily
+    * parallel. Chunks are emitted as portable hashes, not text, so
+    * the result row stays narrow.
+    */
+  val q74 = Q(
+    "q74_chunk_documents",
+    (s, dir) => {
+      graft.functions.Md5Long60.register(s)
+      docs(s, dir)
+        .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+        .withColumn("nt", size(col("toks")))
+        .filter(col("nt") >= 1) // sequence(1,0) would be DESCENDING, not empty
+        .withColumn("start", explode(expr("sequence(1, nt, 40)")))
+        .withColumn("chunk", expr("slice(toks, start, 50)"))
+        .select(
+          col("doc_id"),
+          expr("CAST((start - 1) DIV 40 AS BIGINT)").as("chunk_id"),
+          size(col("chunk")).as("chunk_tokens"),
+          expr("md5long60(array_join(chunk, ' '))").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM (
+      |    SELECT doc_id, ${Portable.tokensSql("text")} AS toks FROM documents)
+      |  WHERE len(toks) >= 1),
+      |st AS (SELECT doc_id, toks, nt, unnest(range(1, nt + 1, 40)) AS start FROM t),
+      |ch AS (SELECT doc_id, start,
+      |         list_slice(toks, start, least(start + 49, nt)) AS chunk
+      |       FROM st)
+      |SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_id,
+      |  CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+      |  ${Portable.md5LongSql("array_to_string(chunk, ' ')")} AS chunk_hash
+      |FROM ch
+      |ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** Dedup with a keeper policy: documents are clustered by their
+    * NORMALIZED content (sorted distinct-token set — bag-of-words
+    * normalization, catching reordered/repeated-word copies that
+    * byte-exact q39 misses); within each cluster the "best" document
+    * (longest, then lowest id) is kept and the dropped→kept mapping
+    * emitted — the form a pipeline actually applies, versus q39 which
+    * reports clusters. One window over one shuffle on the 60-bit
+    * cluster hash (fixed-width shuffle key, not the document text).
+    */
+  val q75 = Q(
+    "q75_dedup_keep_best",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("ck",
+          Portable.md5Long(array_join(array_sort(Portable.tokenSet(col("text"))), " ")))
+        .withColumn("keep_id", first_value(col("doc_id")).over(
+          Window.partitionBy("ck").orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("dropped_id"), col("keep_id"))
+        .orderBy("dropped_id")
+    },
+    Some(s"""SELECT doc_id AS dropped_id, keep_id FROM (
+      |  SELECT doc_id, first_value(doc_id) OVER (PARTITION BY
+      |    ${Portable.md5LongSql(s"array_to_string(list_sort(${Portable.tokenSetSql("text")}), ' ')")}
+      |    ORDER BY n_chars DESC, doc_id) AS keep_id
+      |  FROM documents)
+      |WHERE doc_id <> keep_id
+      |ORDER BY dropped_id""".stripMargin))
+
+  /** Stratified deterministic sample: 10 documents per language,
+    * chosen by portable hash order — reproducible across engines and
+    * cluster layouts, unlike TABLESAMPLE/rand(). Per-group top-k over
+    * one shuffle on the stratum key.
+    */
+  val q78 = Q(
+    "q78_stratified_sample",
+    (s, dir) => {
+      docs(s, dir)
+        .withColumn("hk",
+          Portable.md5Long(concat(lit("samp:"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+    Some(s"""SELECT lang, doc_id, rn FROM (
+      |  SELECT lang, doc_id, CAST(row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY ${Portable.md5LongSql("concat('samp:', CAST(doc_id AS VARCHAR))")}, doc_id)
+      |    AS INTEGER) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin))
+
+  /** Ordered conversion funnel signup → view → click → purchase: each
+    * stage's timestamp is the earliest qualifying event AFTER the
+    * previous stage, computed as four chained per-user window minima
+    * (one shuffle on user_id, no self-joins), then one global rollup.
+    */
+  val q79 = Q(
+    "q79_event_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      def nextStage(tpe: String, after: String) =
+        min(when(col("event_type") === tpe && col("ts") > col(after), col("ts"))).over(w)
+      Tables.events(s, dir)
+        .select("user_id", "event_type", "ts")
+        .withColumn("s", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("v", nextStage("view", "s"))
+        .withColumn("c", nextStage("click", "v"))
+        .withColumn("p", nextStage("purchase", "c"))
+        .agg(
+          countDistinct("user_id").as("n_users"),
+          countDistinct(when(col("s").isNotNull, col("user_id"))).as("n_signup"),
+          countDistinct(when(col("v").isNotNull, col("user_id"))).as("n_view"),
+          countDistinct(when(col("c").isNotNull, col("user_id"))).as("n_click"),
+          countDistinct(when(col("p").isNotNull, col("user_id"))).as("n_purchase"))
+    },
+    Some("""SELECT count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN s IS NOT NULL THEN user_id END) AS n_signup,
+      |  count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END) AS n_view,
+      |  count(DISTINCT CASE WHEN c IS NOT NULL THEN user_id END) AS n_click,
+      |  count(DISTINCT CASE WHEN p IS NOT NULL THEN user_id END) AS n_purchase
+      |FROM (
+      |  SELECT user_id, s, v, c,
+      |    min(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END)
+      |      OVER (PARTITION BY user_id) AS p
+      |  FROM (
+      |    SELECT user_id, event_type, ts, s, v,
+      |      min(CASE WHEN event_type = 'click' AND ts > v THEN ts END)
+      |        OVER (PARTITION BY user_id) AS c
+      |    FROM (
+      |      SELECT user_id, event_type, ts, s,
+      |        min(CASE WHEN event_type = 'view' AND ts > s THEN ts END)
+      |          OVER (PARTITION BY user_id) AS v
+      |      FROM (
+      |        SELECT user_id, event_type, ts,
+      |          min(CASE WHEN event_type = 'signup' THEN ts END)
+      |            OVER (PARTITION BY user_id) AS s
+      |        FROM events))))""".stripMargin))
+
+  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79)
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Further (D)-surface OLAP idioms: generated date spines with
+  * zero-filled outer joins, skew-salted two-phase aggregation, and
+  * argmax/argmin (max_by/min_by) aggregates.
+  */
+object Relational3 {
+
+  /** Calendar-spine report: one row per day of 1995-03 including
+    * order-free days — a generated dimension (sequence + explode)
+    * left-joined to the fact rollup. The spine is generated, not
+    * scanned: at 100 TB the fact side prunes to the month partition
+    * while the 31-row spine is a broadcast.
+    */
+  val q71 = Q(
+    "q71_date_spine",
+    (s, dir) => {
+      val spine = s.range(1).select(explode(expr(
+        "sequence(to_date('1995-03-01'), to_date('1995-03-31'), interval 1 day)")).as("d"))
+      val per = Tables.t(s, dir, "orders")
+        .withColumn("d", to_date(col("o_orderdate")))
+        .filter(col("d").between("1995-03-01", "1995-03-31"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
+      spine.join(per, Seq("d"), "left_outer")
+        .select(
+          col("d"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          round(coalesce(col("rev"), lit(0.0)), 2).as("revenue"))
+        .orderBy("d")
+    },
+    Some("""WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    DATE '1995-03-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d),
+      |per AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+      |    sum(o_totalprice) AS rev
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      |  GROUP BY 1)
+      |SELECT spine.d, COALESCE(n, 0) AS n_orders,
+      |  round(COALESCE(rev, 0.0), 2) AS revenue
+      |FROM spine LEFT OUTER JOIN per ON spine.d = per.d
+      |ORDER BY spine.d""".stripMargin))
+
+  /** Skew-salted two-phase aggregation as a first-class query: phase 1
+    * aggregates (key, salt) so a hot supplier key spreads over 8
+    * reducers, phase 2 merges partials per key. The oracle is the
+    * PLAIN single-phase GROUP BY — proving salting is a pure execution
+    * strategy with identical semantics. Summed measures are
+    * integer-valued doubles, so re-associating the addition is exact.
+    */
+  val q76 = Q(
+    "q76_salted_topk_suppliers",
+    (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+        .groupBy("l_suppkey", "salt")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("c"))
+        .groupBy("l_suppkey")
+        .agg(round(sum("q"), 2).as("sum_qty"), sum("c").cast("long").as("n_items"))
+        .orderBy(col("sum_qty").desc, col("l_suppkey"))
+        .limit(25)
+    },
+    Some("""SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY sum_qty DESC, l_suppkey
+      |LIMIT 25""".stripMargin))
+
+  /** Argmax/argmin aggregates (max_by/min_by ≡ DuckDB arg_max/arg_min):
+    * richest and poorest customer per nation in ONE aggregation pass —
+    * no row_number window, no self-join. Ties are broken by packing
+    * (balance, custkey) into a single ordered key: acctbal has 2
+    * decimals, so balance*100 is integral and the pack is lossless.
+    */
+  val q77 = Q(
+    "q77_argmax_customer",
+    (s, dir) => {
+      val ord = (expr("CAST(round(c_acctbal * 100) AS BIGINT)") * lit(100000L)
+        + col("c_custkey")).as("ord")
+      Tables.t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_name"), col("c_acctbal"), ord)
+        .groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_name"), col("ord")).as("richest"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          min_by(col("c_name"), col("ord")).as("poorest"),
+          round(min(col("c_acctbal")), 2).as("min_bal"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey,
+      |  arg_max(c_name, ord) AS richest, round(max(c_acctbal), 2) AS max_bal,
+      |  arg_min(c_name, ord) AS poorest, round(min(c_acctbal), 2) AS min_bal
+      |FROM (SELECT c_nationkey, c_name, c_acctbal,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) * 100000 + c_custkey AS ord
+      |      FROM customer)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(q71, q76, q77)
+}
