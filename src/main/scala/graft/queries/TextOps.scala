@@ -373,23 +373,32 @@ object TextOps {
 
   /** Quality scoring: type-token ratio, stopword ratio (top-10 global
     * tokens as the stop list), length saturation — one score per doc.
+    *
+    * Shape: ONE explode pass learns the stop list (vocab-sized agg);
+    * the per-document statistics are then pure per-row array math
+    * against the broadcast 10-token stop array — no second explode,
+    * no 10⁵-row join, no wide re-aggregation. All per-doc measures
+    * are integers, so the derived ratios are fold-order-free.
     */
   val q46 = Q(
     "q46_quality_score",
     (s, dir) => {
-      val tokAll = docs(s, dir).select(col("doc_id"),
-        explode(Portable.tokens(col("text"))).as("tok"))
-      val stop = tokAll.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val toksDf = docs(s, dir).select(col("doc_id"),
+        Portable.tokens(col("text")).as("toks"))
+      val stops = toksDf.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
         .filter(col("rn") <= 10)
-        .select(col("tok").as("stok"))
-      tokAll.join(broadcast(stop), col("tok") === col("stok"), "left_outer")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("nt"),
-          countDistinct(col("tok")).as("ntypes"),
-          sum(col("stok").isNotNull.cast("long")).as("stopn"),
-          sum(length(col("tok"))).cast("long").as("sumlen"))
+        .agg(collect_set(col("tok")).as("stops"))
+      toksDf
+        .filter(size(col("toks")) >= 1) // explode-based oracle drops token-free docs
+        .crossJoin(broadcast(stops))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("nt"),
+          size(array_distinct(col("toks"))).cast("long").as("ntypes"),
+          expr("CAST(size(filter(toks, t -> array_contains(stops, t))) AS BIGINT)").as("stopn"),
+          expr("CAST(aggregate(toks, 0L, (a, t) -> a + length(t)) AS BIGINT)").as("sumlen"))
         .withColumn("ttr", col("ntypes") / col("nt"))
         .withColumn("stop_ratio", col("stopn") / col("nt"))
         .withColumn("avg_len", col("sumlen") / col("nt"))

@@ -102,17 +102,20 @@ object VectorOps {
 
   /** Nearest-centroid assignment → label confusion matrix. Centroids
     * (rounded, so both engines share exact values) are broadcast
-    * against the embedding table.
+    * against the embedding table. The argmin is min(struct(d2,
+    * clabel)) — lexicographic struct ordering ≡ the oracle's ORDER BY
+    * d2, clabel — which aggregates map-side in one pass; a
+    * row_number window here would add a full shuffle+sort of the
+    * vectors×centroids pair stream.
     */
   val q50 = Q(
     "q50_nearest_centroid_confusion",
     (s, dir) => {
       emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
         .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))))
-        .filter(col("rn") === 1)
-        .groupBy(col("label"), col("clabel").as("assigned"))
+        .groupBy("vec_id", "label")
+        .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+        .groupBy(col("label"), col("best.clabel").as("assigned"))
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "assigned")
     },
