@@ -3,22 +3,26 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, expressed with
-  * Spark's codegen'd higher-order functions (no UDF, no collect) so
-  * Catalyst keeps the whole pipeline in WholeStageCodegen and the
-  * same arithmetic is expressible in the DuckDB oracle
-  * (list_zip/list_transform/list_sum).
+/** Vector math over `array<float>` embedding columns, backed by the
+  * codegen'd [[VecDot]]/[[VecDist2]] Catalyst expressions (no UDF, no
+  * collect). The equivalent higher-order-function form
+  * (`aggregate(zip_with(...))`) is what the DuckDB oracle still runs
+  * (list_zip/list_transform/list_sum), so correctness of the fast
+  * path is oracle-pinned on every run.
   *
-  * Every element is cast to DOUBLE before multiplying so Spark and
-  * DuckDB produce bit-identical sums (both fold left-to-right).
+  * Every element is cast to DOUBLE before multiplying and the sum
+  * folds left-to-right in both engines — bit-identical results.
   */
 object VectorFunctions {
 
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  private def ex(c: Column) = org.apache.spark.sql.GraftSqlBridge.expression(c)
+
   /** Dot product of two array<float|double> columns as DOUBLE. */
   def dot(a: String, b: String): Column =
-    expr(s"""aggregate(
-      zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+    bridge(VecDot(ex(expr(a)), ex(expr(b))))
 
   /** DuckDB rendering of [[dot]] — identical fold order. */
   def dotSql(a: String, b: String): String =
@@ -33,9 +37,7 @@ object VectorFunctions {
     * array<double> column (e.g. a centroid).
     */
   def dist2(a: String, b: String): Column =
-    expr(s"""aggregate(
-      zip_with($a, $b, (x, y) -> pow(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)),
-      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+    bridge(VecDist2(ex(expr(a)), ex(expr(b))))
 
   def dist2Sql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> pow(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE), 2)))"

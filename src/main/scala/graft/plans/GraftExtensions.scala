@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.Md5Long60
+import graft.functions.{Md5Long60, VecDist2, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -21,5 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Long60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("vecdot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vecdot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vecdist2"),
+      new ExpressionInfo(classOf[VecDist2].getName, "vecdist2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDist2(exprs(0), exprs(1))))
   }
 }

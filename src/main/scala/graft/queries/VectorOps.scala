@@ -145,24 +145,25 @@ object VectorOps {
   val q51 = Q(
     "q51_ann_lsh_hyperplane",
     (s, dir) => {
-      graft.functions.Md5Long60.register(s)
-      // The whole 8-bit sign bucket is ONE per-row expression: each
-      // plane's dot product is a left-to-right aggregate() fold, so
-      // the sign of a near-zero dot is deterministic and identical to
-      // the oracle's fold (a shuffled sum() here would make bucket
-      // membership fold-order-dependent). Also zero shuffles vs the
-      // posexplode+groupBy formulation.
-      val bucketExpr = expr(
-        """aggregate(transform(sequence(0, 7), p ->
-          |  CASE WHEN aggregate(
-          |    zip_with(embedding,
-          |      transform(sequence(1, 64), d ->
-          |        (md5long60(concat('hp:', CAST(p AS STRING), ':', CAST(d AS STRING)))
-          |          % 2001 - 1000) / 1000.0),
-          |      (x, w) -> CAST(x AS DOUBLE) * w),
-          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
-          |  THEN CAST(pow(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+      // The hyperplane weights are md5-derived CONSTANTS: evaluate the
+      // same Md5Long60 hash once at plan-build time (8 planes × 64
+      // dims = 512 hashes total) and embed them as array literals,
+      // instead of re-deriving all 512 inside a per-row lambda
+      // (2000 rows × 512 md5 calls at sf0.1 — pure waste). Each
+      // plane's dot is the codegen'd VecDot with the same
+      // left-to-right fold as the oracle, so the sign of a near-zero
+      // dot stays deterministic and bucket membership identical.
+      val planes: Seq[Array[Double]] = (0 to 7).map { p =>
+        (1 to 64).map { d =>
+          (graft.functions.Md5Long60.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$p:$d"))
+            % 2001 - 1000) / 1000.0
+        }.toArray
+      }
+      val bucketExpr = planes.zipWithIndex.map { case (w, p) =>
+        when(graft.functions.VecMath.dotCol(col("embedding"), lit(w)) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
       val wn = emb(s, dir)
         .withColumn("nrm", V.norm("embedding"))
         .withColumn("bucket", bucketExpr)
