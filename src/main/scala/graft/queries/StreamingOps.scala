@@ -20,5 +20,16 @@ object StreamingOps {
     // the batch tumbling oracle IS the streaming oracle — unified model
     Events.q34.oracle)
 
-  val all: Vector[Q] = Vector(q56)
+  /** Sliding windows (T2) through the streaming engine: overlapping
+    * windows mean every event feeds two state rows; the watermark
+    * bounds that state. Shares q35's batch oracle.
+    */
+  val q80 = Q(
+    "q80_stream_sliding_counts",
+    (s, dir) =>
+      EventStreams.slidingCounts(s, dir, "q80_sink")
+        .orderBy("wstart"),
+    Events.q35.oracle)
+
+  val all: Vector[Q] = Vector(q56, q80)
 }
