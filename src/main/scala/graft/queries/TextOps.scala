@@ -117,13 +117,17 @@ object TextOps {
     "q41_dedup_minhash_lsh",
     (s, dir) => {
       graft.functions.Md5Long60.register(s)
+      graft.functions.SetOps.register(s)
       val toks = docs(s, dir).filter(col("lang") === "en")
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
-      // verify-side token sets as 60-bit hashes: set sizes (and thus
-      // Jaccard) are unchanged, but the 520k-pair verify stage
-      // intersects fixed-width longs instead of strings
+      // verify-side token sets as SORTED 60-bit hashes: set sizes
+      // (and thus Jaccard) are unchanged, but the 520k-pair verify
+      // stage becomes one codegen'd merge scan per pair over
+      // fixed-width longs (array_intersect/array_union would build
+      // two interpreted hash sets per pair — the dominant cost of
+      // the whole pipeline at sf0.1)
       val toksH = toks.select(col("doc_id"),
-        expr("transform(toks, t -> md5long60(t))").as("toks"))
+        expr("array_sort(transform(toks, t -> md5long60(t)))").as("toks"))
       // The whole signature matrix (16 min-hashes → 2 band sigs) is
       // per-row array math inside one codegen'd projection: zero
       // shuffles before the bucket join (the explode+groupBy(min)
@@ -149,9 +153,8 @@ object TextOps {
       cand
         .join(toksH.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
         .join(toksH.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
-        .withColumn("jac",
-          size(array_intersect(col("ta"), col("tb"))) /
-            size(array_union(col("ta"), col("tb"))))
+        .withColumn("c", expr("sorted_intersect_count(ta, tb)"))
+        .withColumn("jac", col("c") / (size(col("ta")) + size(col("tb")) - col("c")))
         .filter(col("jac") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
