@@ -187,6 +187,53 @@ object PipelineOps {
       |WHERE doc_id <> keep_id
       |ORDER BY dropped_id""".stripMargin))
 
+  /** Incremental dedup: a NEW batch of documents deduplicated against
+    * an already-ingested corpus — the shape production pipelines
+    * actually run (the corpus is never re-deduplicated; only the
+    * delta is checked). Membership is the deterministic hash split
+    * (batch ≈ 20%); content identity is the normalized token-set hash
+    * (as q75). One semi-join against the corpus' distinct keys + one
+    * window within the batch: at 100 TB the corpus side reduces to
+    * its distinct ck set (far smaller than the corpus) before the
+    * join, and the batch-side window only shuffles the delta.
+    */
+  val q81 = Q(
+    "q81_dedup_incremental",
+    (s, dir) => {
+      val keyed = docs(s, dir)
+        .withColumn("ck",
+          Portable.md5Long(array_join(array_sort(Portable.tokenSet(col("text"))), " ")))
+        .withColumn("is_corpus",
+          pmod(Portable.md5Long(concat(lit("inc:"), col("doc_id").cast("string"))), lit(10)) < 8)
+      val corpusKeys = keyed.filter(col("is_corpus"))
+        .select(col("ck").as("cck")).distinct()
+      keyed.filter(!col("is_corpus"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ck").orderBy("doc_id")))
+        .join(corpusKeys, col("ck") === col("cck"), "left_outer")
+        .select(col("doc_id"),
+          when(col("cck").isNotNull, "dup_of_corpus")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("new").as("status"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH keyed AS (
+      |  SELECT doc_id,
+      |    ${Portable.md5LongSql(s"array_to_string(list_sort(${Portable.tokenSetSql("text")}), ' ')")} AS ck,
+      |    ${Portable.md5LongSql("concat('inc:', CAST(doc_id AS VARCHAR))")} % 10 < 8 AS is_corpus
+      |  FROM documents),
+      |ck_corpus AS (SELECT DISTINCT ck AS cck FROM keyed WHERE is_corpus),
+      |batch AS (
+      |  SELECT doc_id, ck,
+      |    row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+      |  FROM keyed WHERE NOT is_corpus)
+      |SELECT b.doc_id,
+      |  CASE WHEN c.cck IS NOT NULL THEN 'dup_of_corpus'
+      |       WHEN rn > 1 THEN 'dup_in_batch'
+      |       ELSE 'new' END AS status
+      |FROM batch b LEFT OUTER JOIN ck_corpus c ON b.ck = c.cck
+      |ORDER BY doc_id""".stripMargin))
+
   /** Stratified deterministic sample: 10 documents per language,
     * chosen by portable hash order — reproducible across engines and
     * cluster layouts, unlike TABLESAMPLE/rand(). Per-group top-k over
@@ -260,5 +307,5 @@ object PipelineOps {
       |            OVER (PARTITION BY user_id) AS s
       |        FROM events))))""".stripMargin))
 
-  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79)
+  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79, q81)
 }

@@ -291,8 +291,11 @@ object TextOps {
     "q44_token_stats_by_lang",
     (s, dir) => {
       docs(s, dir)
-        .withColumn("nt", size(Portable.tokens(col("text"))))
-        .withColumn("ntypes", size(Portable.tokenSet(col("text"))))
+        // tokenize once; the distinct count derives from the same array
+        // (tokens() is two regex passes per call — don't pay it twice)
+        .withColumn("toks", Portable.tokens(col("text")))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("ntypes", size(array_distinct(col("toks"))))
         .withColumn("nbpe",
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
         .groupBy("lang")
