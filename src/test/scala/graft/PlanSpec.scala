@@ -54,4 +54,31 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2,
       "expected partial+final HashAggregate pair")
   }
+
+  test("q76: salted aggregation plans as two HashAggregate phases") {
+    val s = q("q76_salted_topk_suppliers").queryExecution.executedPlan.toString
+    // (key,salt) partial+final then key partial+final = 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(s).size >= 4,
+      s"expected two two-phase aggregations, plan:\n${s.take(2000)}")
+  }
+
+  test("q71: generated date spine joins without shuffling the spine globally") {
+    val df = q("q71_date_spine")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s"31-row spine should broadcast:\n${s.take(2000)}")
+  }
+
+  test("q50: nearest-centroid argmin aggregates map-side (no window sort)") {
+    val s = q("q50_nearest_centroid_confusion").queryExecution.executedPlan.toString
+    assert(!s.contains("RunningWindowFunction") && !s.contains("Window"),
+      "argmin must be min(struct(...)), not a row_number window")
+    assert(s.contains("vecdist2"), "distance must be the codegen'd expression")
+  }
+
+  test("q41: verify stage uses the codegen'd merge-scan intersect") {
+    val s = q("q41_dedup_minhash_lsh").queryExecution.executedPlan.toString
+    assert(s.contains("sorted_intersect_count"), s.take(2000))
+  }
 }
