@@ -87,21 +87,30 @@ object PipelineOps {
   val q73 = Q(
     "q73_tfidf_topterms",
     (s, dir) => {
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      val nt = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // nt rides along the explode (functionally dependent on doc_id),
+      // so no separate per-doc aggregation + re-join; the per-doc
+      // top-3 is sort_array+slice over each doc's ≤|vocab| scored
+      // terms — one groupBy shuffle instead of a join shuffle plus a
+      // sort-based row_number window. (-score, tok) ascending ≡ the
+      // oracle's ORDER BY score DESC, tok (exact double negation).
+      val ex = docs(s, dir)
+        .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("nt"), explode(col("toks")).as("tok"))
+      val tf = ex.groupBy("doc_id", "nt", "tok").agg(count(lit(1)).as("cnt"))
       val ndocs = docs(s, dir).agg(countDistinct("doc_id").as("ndocs"))
-      tf.join(nt, "doc_id")
-        .join(broadcast(dfc), "tok")
+      // df as a whole-partition window count over tf: the tokenize+
+      // explode+aggregate pipeline runs ONCE (a dfc-subquery join
+      // would recompute it for the broadcast side)
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(broadcast(ndocs))
         .withColumn("score", (col("cnt") / col("nt")) * (col("ndocs") / col("df")))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("tok").as("term"),
-          round(col("score"), 6).as("tfidf"), col("rnk"))
+        .groupBy("doc_id")
+        .agg(expr(
+          "slice(sort_array(collect_list(struct(-score AS ns, tok AS term, score AS sc))), 1, 3)")
+          .as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), col("col.term").as("term"),
+          round(col("col.sc"), 6).as("tfidf"), (col("pos") + 1).as("rnk"))
         .orderBy("doc_id", "rnk")
     },
     Some(s"""WITH toks AS (
