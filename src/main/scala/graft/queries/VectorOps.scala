@@ -229,12 +229,14 @@ object VectorOps {
   val q66 = Q(
     "q66_ivf_search",
     (s, dir) => {
+      // same map-side argmin as q50: (d2, clabel) decides before the
+      // embedding field is ever compared (clabel is unique per cell)
       val assigned = emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
         .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("clabel").as("cell"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("clabel"), col("embedding"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.clabel").as("cell"))
         .withColumn("nrm", V.norm("embedding"))
       val qs = assigned.filter(col("vec_id") < 20).select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
