@@ -330,25 +330,33 @@ object TextOps {
   val q45 = Q(
     "q45_lang_id_profile",
     (s, dir) => {
+      graft.functions.Md5Long60.register(s)
+      graft.functions.SetOps.register(s)
       val d = docs(s, dir)
-      val tokAll = d.select(col("doc_id"), col("lang"),
-        explode(Portable.tokens(col("text"))).as("tok"))
-      val top = tokAll
+      // learn per-language top-20 profiles from ONE exploded pass,
+      // collapsed to 5 sorted hash arrays
+      val profiles = d
+        .select(col("lang"), explode(Portable.tokens(col("text"))).as("tok"))
         .groupBy(col("lang").as("plang"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("tok"))))
         .filter(col("rn") <= 20)
-        .select("plang", "tok")
-      val dtok = d.select(col("doc_id"), col("lang"),
-        explode(Portable.tokenSet(col("text"))).as("tok"))
-      val pred = dtok.join(broadcast(top), "tok")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(count(lit(1)).as("score"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))))
-        .filter(col("rn") === 1)
-      pred.groupBy(col("lang"), col("plang").as("predicted"))
+        .groupBy("plang")
+        .agg(expr("array_sort(collect_list(md5long60(tok)))").as("ptoks"))
+      // scoring is per-row array math against the broadcast profiles:
+      // |doc-token-set ∩ profile| via the codegen'd merge scan, argmax
+      // via a map-side min(struct) — no second explode, no token-level
+      // join, no per-doc window (docs with zero overlap with every
+      // profile drop out, matching the oracle's inner join)
+      d.select(col("doc_id"), col("lang"), Portable.tokenSet(col("text")).as("ts"))
+        .withColumn("dtoks", expr("array_sort(transform(ts, t -> md5long60(t)))"))
+        .crossJoin(broadcast(profiles))
+        .withColumn("score", expr("sorted_intersect_count(dtoks, ptoks)"))
+        .filter(col("score") >= 1)
+        .groupBy("doc_id", "lang")
+        .agg(min(struct((-col("score")).as("ns"), col("plang"))).as("best"))
+        .groupBy(col("lang"), col("best.plang").as("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     },
