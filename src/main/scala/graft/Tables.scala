@@ -31,6 +31,18 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The documents fixture is a single-row-group parquet file, which
+    * Spark cannot split — without an explicit spread every tokenize/
+    * hash/explode pipeline over it would run on ONE core. The rows
+    * are tiny and the downstream per-row compute is heavy, so a
+    * repartition to full parallelism costs one negligible shuffle and
+    * wins back the whole cluster. (Same reasoning holds at 100 TB
+    * whenever a narrow scan feeds CPU-heavy per-row work.)
+    */
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every fixture table as a temp view (for spark.sql paths).
     * Idempotent and metadata-only — no data is read until a query runs.
     */

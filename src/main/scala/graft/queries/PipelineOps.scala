@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object PipelineOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docs(s, dir)
 
   /** Deterministic train/valid/test split by content-independent hash
     * of the stable document id (80/10/10). Hash-mod splitting is the

@@ -20,16 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** The documents fixture is a single-row-group parquet file, which
-    * Spark cannot split — without an explicit spread every tokenize/
-    * hash/explode pipeline below would run on ONE core. The rows are
-    * tiny and the downstream per-row compute is heavy, so a
-    * repartition to full parallelism costs one negligible 5k-row
-    * shuffle and wins back the whole cluster. (Same reasoning holds
-    * at 100 TB whenever a narrow scan feeds CPU-heavy per-row work.)
-    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docs(s, dir)
 
   /** L1 exact dedup by content hash: one shuffle on sha256(text). */
   val q39 = Q(
