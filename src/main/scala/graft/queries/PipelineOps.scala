@@ -316,5 +316,55 @@ object PipelineOps {
       |            OVER (PARTITION BY user_id) AS s
       |        FROM events))))""".stripMargin))
 
-  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79, q81)
+  /** PII-style scrubbing: digits masked out of the natural-key name,
+    * digit count accounted, and a stable pseudonym derived from the
+    * portable hash — so re-running the scrub on any cluster (or in
+    * the oracle engine) assigns identical pseudonyms. Pure per-row
+    * projection: no shuffle, no state.
+    */
+  val q83 = Q(
+    "q83_anonymize_mask",
+    (s, dir) => {
+      Tables.t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          (length(col("c_name")) -
+            length(regexp_replace(col("c_name"), "[0-9]", ""))).as("n_masked"),
+          concat(lit("user_"),
+            pmod(Portable.md5Long(col("c_name")), lit(100000L)).cast("string")).as("pseudonym"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  CAST(length(c_name) -
+      |    length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INTEGER) AS n_masked,
+      |  concat('user_', CAST(${Portable.md5LongSql("c_name")} % 100000 AS VARCHAR)) AS pseudonym
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Schema-evolution merge: two ingestion batches with drifted
+    * schemas union by COLUMN NAME, null-filling what either side
+    * lacks (unionByName(allowMissingColumns)) — the operation an
+    * append-only warehouse needs every time a feed adds a column.
+    */
+  val q84 = Q(
+    "q84_union_schema_evolution",
+    (s, dir) => {
+      val d = Tables.t(s, dir, "documents")
+      val batchA = d.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val batchB = d.filter(col("lang") === "de")
+        .select(col("doc_id"), col("lang"), col("source"))
+      batchA.unionByName(batchB, allowMissingColumns = true)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+      |FROM documents WHERE lang = 'en'
+      |UNION ALL
+      |SELECT doc_id, lang, CAST(NULL AS BIGINT), source
+      |FROM documents WHERE lang = 'de'
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84)
 }

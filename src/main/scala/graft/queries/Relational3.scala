@@ -102,5 +102,29 @@ object Relational3 {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(q71, q76, q77)
+  /** UNPIVOT — the dual of q63's PIVOT: wide metric columns melt into
+    * (metric, value) rows. Planned as a single Expand projection (no
+    * shuffle, no join), which is why melt scales linearly.
+    */
+  val q82 = Q(
+    "q82_unpivot_part_metrics",
+    (s, dir) => {
+      Tables.t(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+    Some("""SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+      |FROM part WHERE p_partkey <= 500
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+      |FROM part WHERE p_partkey <= 500
+      |ORDER BY p_partkey, metric""".stripMargin))
+
+  val all: Vector[Q] = Vector(q71, q76, q77, q82)
 }
