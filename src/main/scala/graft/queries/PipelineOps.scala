@@ -366,5 +366,32 @@ object PipelineOps {
       |FROM documents WHERE lang = 'de'
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84)
+  /** Forward-fill over event time: values failing a validity gate
+    * become NULL and are filled with the user's last valid value —
+    * `last(ignoreNulls) OVER (ROWS UNBOUNDED PRECEDING)` — the
+    * standard gap-repair step before feature extraction. One shuffle
+    * on the entity key; the filled value is carried verbatim (no
+    * arithmetic), so no rounding is needed for oracle parity.
+    */
+  val q85 = Q(
+    "q85_forward_fill",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("value") >= 0.2, col("value")).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "v", "filled")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      |  CASE WHEN value >= 0.2 THEN value END AS v,
+      |  last_value(CASE WHEN value >= 0.2 THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events
+      |ORDER BY event_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85)
 }

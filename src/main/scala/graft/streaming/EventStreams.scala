@@ -65,6 +65,22 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** T5 streaming dedup: first event per (user_id, event_type) with
+    * state bounded by the watermark (dropDuplicatesWithinWatermark —
+    * duplicate keys are only guaranteed deduplicated while their
+    * event time is within the watermark window, which is exactly the
+    * guarantee an at-least-once source needs, with state that can be
+    * EVICTED — an unbounded dropDuplicates would grow state forever
+    * on an infinite stream).
+    */
+  def dedupFirstPerUserType(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val deduped = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    runToCompletion(deduped, "append", queryName)
+  }
+
   /** Event for the custom-state sessionizer. `ts` carries the
     * watermarked event-time column (the stateful operator requires it
     * to stay in the plan); `us` is its micros-since-epoch form the

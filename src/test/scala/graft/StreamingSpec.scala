@@ -17,6 +17,18 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(b.select("wstart", "n", "sum_value")).isEmpty)
   }
 
+  test("dropDuplicatesWithinWatermark keeps one event per key in-window") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.dedupFirstPerUserType(spark, sf(), "spec_dedup")
+    val keys = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct().count()
+    // exactly-once per key within the watermark: with the whole fixture
+    // in one micro-batch every key dedups to a single row
+    assert(stream.count() == keys)
+    assert(stream.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
   test("streaming sessionization emits a closed subset of batch sessions") {
     val stream = EventStreams.sessionCounts(spark, sf(), "spec_session")
     val b = batch("q36_session_window").select("user_id", "sstart", "n_events", "sum_value")
