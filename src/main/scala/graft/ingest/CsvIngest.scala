@@ -50,7 +50,8 @@ object CsvIngest {
       delimiter: String,
       schema: StructType,
       columns: Seq[(String, String)], // name -> Hive type name
-      rowCount: Long)
+      rowCount: Long,
+      badRowCount: Long = 0)
 
   /** Sniff the delimiter from the first line (candidates `,;\t|`,
     * comma fallback — reference csv_processor.py:25-34 semantics).
@@ -102,5 +103,41 @@ object CsvIngest {
       table, delim, schema,
       schema.fields.toSeq.map(f => f.name -> Types.hiveName(f.dataType)),
       df.count())
+  }
+
+  /** Ingest with row salvage — the reference's per-row fallback when a
+    * batched INSERT fails (hive_manager.py:317-325: the failing batch
+    * is retried row by row, keeping the good rows and counting the
+    * bad). Spark-native form: PERMISSIVE parsing routes each
+    * unparseable line into the corrupt-record column, good rows
+    * register as the table, bad rows are counted and reported —
+    * distributed, no per-row round-trips.
+    */
+  def ingestSalvaged(
+      spark: SparkSession, path: String, rawName: String,
+      header: Boolean = true, sampleRows: Int = 1000,
+      suffix: Option[String] = None): IngestResult = {
+    import org.apache.spark.sql.functions.col
+    val delim = sniffDelimiter(spark, path)
+    val schema = inferSchema(spark, path, delim, header, sampleRows)
+    val corrupt = "_corrupt_record"
+    val parsed = spark.read
+      .option("header", header.toString)
+      .option("sep", delim)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .csv(path)
+      // Spark disallows filtering raw CSV on only the corrupt-record
+      // column; materialize the parse once for the good/bad split
+      .cache()
+    val good = parsed.filter(col(corrupt).isNull).drop(corrupt)
+    val bad = parsed.filter(col(corrupt).isNotNull).count()
+    val table = Types.sanitizeTableName(rawName, suffix)
+    good.createOrReplaceTempView(table)
+    IngestResult(
+      table, delim, schema,
+      schema.fields.toSeq.map(f => f.name -> Types.hiveName(f.dataType)),
+      good.count(), bad)
   }
 }

@@ -47,6 +47,19 @@ class CsvIngestSpec extends SparkSpec {
     assert(spark.table("fixed").where("a IS NULL").count() == 1)
   }
 
+  test("salvage ingest keeps good rows and counts malformed ones") {
+    // row 3 has a non-numeric id and a malformed trailing field count;
+    // the reference's per-row salvage (hive_manager.py:317-325) keeps
+    // the parseable rows and drops the rest
+    val path = tmpCsv(
+      "id,price\n1,1.5\n2,2.5\nnot_a_number,oops,extra\n4,4.5\n",
+      "dirty.csv")
+    val r = CsvIngest.ingestSalvaged(spark, path, "dirty")
+    assert(r.rowCount == 3, s"expected 3 salvaged rows, got ${r.rowCount}")
+    assert(r.badRowCount == 1, s"expected 1 bad row, got ${r.badRowCount}")
+    assert(spark.table(r.table).count() == 3)
+  }
+
   test("headerless files use generated column names") {
     val path = tmpCsv("1,2\n3,4\n", "nohdr.csv")
     val r = CsvIngest.ingest(spark, path, "nohdr", header = false)
