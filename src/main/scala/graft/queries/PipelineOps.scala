@@ -58,12 +58,13 @@ object PipelineOps {
   val q72 = Q(
     "q72_cohort_retention",
     (s, dir) => {
-      val wk = Tables.events(s, dir)
+      // cohort week as a window min over the same user partition the
+      // distinct already shuffled to — no self-join, one shuffle total
+      Tables.events(s, dir)
         .select(col("user_id"),
           floor(datediff(to_date(col("ts")), to_date(lit("1970-01-05"))) / 7).as("w"))
         .distinct()
-      val cohort = wk.groupBy("user_id").agg(min("w").as("cw"))
-      wk.join(cohort, "user_id")
+        .withColumn("cw", min("w").over(Window.partitionBy("user_id")))
         .groupBy(col("cw"), (col("w") - col("cw")).as("off"))
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cw", "off")
