@@ -126,5 +126,82 @@ object Relational3 {
       |FROM part WHERE p_partkey <= 500
       |ORDER BY p_partkey, metric""".stripMargin))
 
-  val all: Vector[Q] = Vector(q71, q76, q77, q82)
+  /** TPC-H Q21-shaped "waiting suppliers": suppliers with a SLOW line
+    * (shipped >90 days after order date) on a multi-supplier order
+    * where NO other supplier was slow — one semi-join plus one
+    * anti-join against the same line set, the decorrelated form of
+    * EXISTS / NOT EXISTS. The supplier dimension broadcasts.
+    */
+  val q86 = Q(
+    "q86_waiting_suppliers",
+    (s, dir) => {
+      val l = Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90))
+            .as("slow"))
+      val lines = l.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val slow = l.filter(col("slow"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      slow
+        .join(lines,
+          col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+          "left_semi")
+        .join(slow.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+          "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90 AS slow
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |slow AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE slow)
+      |SELECT s_name, count(*) AS numwait
+      |FROM slow s1 JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM l WHERE l.l_orderkey = s1.l_orderkey
+      |      AND l.l_suppkey <> s1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM slow s2 WHERE s2.l_orderkey = s1.l_orderkey
+      |      AND s2.l_suppkey <> s1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin))
+
+  /** Ratio-to-report: each nation's share of global revenue via a
+    * whole-frame window sum OVER the 25-row aggregate — the window
+    * runs over the tiny rollup, never the fact table.
+    */
+  val q87 = Q(
+    "q87_revenue_share",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.t(s, dir, "orders")
+        .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .withColumn("share",
+          round(col("rev") / sum("rev").over(Window.partitionBy()), 6))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, rev, round(rev / sum(rev) OVER (), 6) AS share
+      |FROM (
+      |  SELECT n_name, round(sum(o_totalprice), 2) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |ORDER BY n_name""".stripMargin))
+
+  val all: Vector[Q] = Vector(q71, q76, q77, q82, q86, q87)
 }
