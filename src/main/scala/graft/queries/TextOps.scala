@@ -69,19 +69,36 @@ object TextOps {
     Portable.md5Long(concat_ws("\u0001", col("lang"), col("source")))
 
   /** L2 near-dup via exact token-set Jaccard, blocked by
-    * (lang, source): pairs are generated through a shared-token join
-    * inside each block, never a cross join.
+    * (lang, source). Strategy choice (vs q43's shared-item join):
+    * this corpus has a ~31-word vocabulary, so almost every in-block
+    * pair shares a token and the shared-token join degenerates to
+    * ~8M pair-token rows at sf0.1. With DENSE overlap the right shape
+    * is the block-local pair join — blocks shuffle once as whole
+    * rows, pairs stream out of the join, and each pair's Jaccard is
+    * one codegen'd merge scan over the sorted hash arrays. (q43 keeps
+    * the shared-item join: shingle overlap is SPARSE, where exploding
+    * by item prunes the pair space instead of inflating it.)
     */
   val q40 = Q(
     "q40_dedup_jaccard_blocked",
     (s, dir) => {
+      graft.functions.Md5Long60.register(s)
+      graft.functions.SetOps.register(s)
       val ex = docs(s, dir)
         .select(col("doc_id"), blockKey.as("bk"),
-          Portable.tokenSet(col("text")).as("toks"))
-        .select(col("doc_id"), col("bk"),
-          size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-        .select(col("doc_id"), col("bk"), col("n"), Portable.md5Long(col("tok")).as("h"))
-      jaccardPairs(ex, 0.7)
+          array_sort(transform(Portable.tokenSet(col("text")), Portable.md5Long(_)))
+            .as("toks"))
+        .withColumn("n", size(col("toks")))
+      ex.select(col("doc_id").as("doc_a"), col("bk"), col("toks").as("ta"), col("n").as("na"))
+        .hint("shuffle_hash")
+        .join(ex.select(col("doc_id").as("doc_b"), col("bk").as("bk2"),
+          col("toks").as("tb"), col("n").as("nb")),
+          col("bk") === col("bk2") && col("doc_a") < col("doc_b"))
+        .withColumn("c", expr("sorted_intersect_count(ta, tb)"))
+        .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH ts AS (
       |  SELECT doc_id, lang, source, ${Portable.tokenSetSql("text")} AS toks
