@@ -394,5 +394,36 @@ object PipelineOps {
       |FROM events
       |ORDER BY event_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85)
+  /** Latest-record snapshot (SCD-1 compaction): the append-only event
+    * log collapses to current state per entity — newest event wins,
+    * version count retained. The upsert-free form of MERGE a parquet
+    * warehouse runs as periodic compaction.
+    */
+  val q88 = Q(
+    "q88_latest_snapshot",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .withColumn("n_versions", count(lit(1)).over(
+          Window.partitionBy("user_id")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          round(col("value"), 2).as("last_value"), col("n_versions"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, last_type, round(last_value, 2) AS last_value,
+      |  n_versions
+      |FROM (
+      |  SELECT user_id, event_type AS last_type, value AS last_value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_versions
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85, q88)
 }

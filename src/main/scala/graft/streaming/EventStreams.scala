@@ -65,6 +65,29 @@ object EventStreams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Stream-static enrichment join: the event stream joins a STATIC
+    * dimension (users bucketed by id range, stand-in for a profile
+    * table) before the windowed aggregation. The static side is
+    * planned as a broadcast into every micro-batch — the canonical
+    * way to enrich a stream without a second stateful operator.
+    */
+  def enrichedTumblingCounts(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val segments = spark.range(0, 100)
+      .select(col("id").as("seg_user"),
+        (col("id") % 3).cast("int").as("segment"))
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .join(org.apache.spark.sql.functions.broadcast(segments),
+        col("user_id") === col("seg_user"))
+      .groupBy(window(col("ts"), "60 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToCompletion(agg, "complete", queryName)
+      .select(
+        unix_timestamp(col("window.start")).as("wstart"),
+        col("segment"), col("n"), col("sum_value"))
+  }
+
   /** T5 streaming dedup: first event per (user_id, event_type) with
     * state bounded by the watermark (dropDuplicatesWithinWatermark —
     * duplicate keys are only guaranteed deduplicated while their

@@ -17,6 +17,21 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(b.select("wstart", "n", "sum_value")).isEmpty)
   }
 
+  test("stream-static enrichment join equals its batch twin") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.enrichedTumblingCounts(spark, sf(), "spec_enriched")
+    val segments = spark.range(0, 100)
+      .select(col("id").as("seg_user"), (col("id") % 3).cast("int").as("segment"))
+    val b = Tables.events(spark, sf())
+      .join(broadcast(segments), col("user_id") === col("seg_user"))
+      .groupBy(window(col("ts"), "60 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("segment"), col("n"), col("sum_value"))
+    assert(stream.count() == b.count())
+    assert(stream.exceptAll(b).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one event per key in-window") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.dedupFirstPerUserType(spark, sf(), "spec_dedup")
