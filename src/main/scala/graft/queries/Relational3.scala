@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Further (D)-surface OLAP idioms: generated date spines with
@@ -183,7 +184,6 @@ object Relational3 {
   val q87 = Q(
     "q87_revenue_share",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       Tables.t(s, dir, "orders")
         .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.t(s, dir, "nation")),
