@@ -203,5 +203,62 @@ object Relational3 {
       |  GROUP BY n_name)
       |ORDER BY n_name""".stripMargin))
 
-  val all: Vector[Q] = Vector(q71, q76, q77, q82, q86, q87)
+  /** grouping() markers on a ROLLUP — Hive's grouping__id surface:
+    * subtotal rows are distinguishable from genuine NULL group keys
+    * by the flag, not by guessing.
+    */
+  val q89 = Q(
+    "q89_grouping_flags",
+    (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  /** Basic array-function surface over token arrays (contains /
+    * position / min / max / overlap) — §2.8's non-higher-order array
+    * row, all per-row projections.
+    */
+  val q90 = Q(
+    "q90_array_basics",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Portable.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "data").as("has_data"),
+          array_position(col("toks"), "data").as("pos_data"),
+          array_min(col("toks")).as("min_tok"),
+          array_max(col("toks")).as("max_tok"),
+          arrays_overlap(col("toks"), array(lit("data"), lit("model"))).as("overlaps"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_toks,
+      |  list_contains(toks, 'data') AS has_data,
+      |  CAST(COALESCE(list_position(toks, 'data'), 0) AS BIGINT) AS pos_data,
+      |  list_min(toks) AS min_tok,
+      |  list_max(toks) AS max_tok,
+      |  len(list_intersect(toks, ['data', 'model'])) > 0 AS overlaps
+      |FROM (SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q71, q76, q77, q82, q86, q87, q89, q90)
 }

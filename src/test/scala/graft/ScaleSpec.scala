@@ -37,6 +37,15 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    val df = Tables.t(spark, sf(), "orders")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"tiny shuffle should coalesce below ${spark.conf.get("spark.sql.shuffle.partitions")} partitions:\n${plan.take(1500)}")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.t(spark, sf(), "lineitem")
     val direct = li.groupBy("l_returnflag")
