@@ -31,5 +31,25 @@ object StreamingOps {
         .orderBy("wstart"),
     Events.q35.oracle)
 
-  val all: Vector[Q] = Vector(q56, q80)
+  /** Stream-static enrichment join through the streaming engine: the
+    * stream joins a broadcast static dimension inside each
+    * micro-batch before the windowed aggregation. The oracle rebuilds
+    * the same static side with range() and replays the tumbling
+    * window as epoch math.
+    */
+  val q91 = Q(
+    "q91_stream_enriched_counts",
+    (s, dir) =>
+      EventStreams.enrichedTumblingCounts(s, dir, "q91_sink")
+        .orderBy("wstart", "segment"),
+    Some("""SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS wstart,
+      |  CAST(seg_user % 3 AS INTEGER) AS segment,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |JOIN (SELECT unnest(range(0, 100)) AS seg_user) segs
+      |  ON user_id = seg_user
+      |GROUP BY 1, 2
+      |ORDER BY wstart, segment""".stripMargin))
+
+  val all: Vector[Q] = Vector(q56, q80, q91)
 }
