@@ -175,5 +175,31 @@ object Analytics {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(q21, q22, q23, q24, q25, q26, q27)
+  /** Per-group top-k WITH ties: rank() keeps every part tied at the
+    * boundary price (vs q26's row_number, which arbitrarily-but-
+    * deterministically cuts ties) — SQL's two top-k semantics side by
+    * side.
+    */
+  val q93 = Q(
+    "q93_topk_with_ties",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.t(s, dir, "part")
+        .withColumn("rk", rank().over(
+          Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("p_name"),
+          round(col("p_retailprice"), 2).as("price"), col("rk"))
+        .orderBy("p_brand", "rk", "p_name")
+    },
+    Some("""SELECT p_brand, p_name, round(p_retailprice, 2) AS price,
+      |  CAST(rk AS INTEGER) AS rk
+      |FROM (
+      |  SELECT p_brand, p_name, p_retailprice,
+      |    rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk
+      |  FROM part)
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk, p_name""".stripMargin))
+
+  val all: Vector[Q] = Vector(q21, q22, q23, q24, q25, q26, q27, q93)
 }

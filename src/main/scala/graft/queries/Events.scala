@@ -155,5 +155,41 @@ object Events {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin))
 
-  val all: Vector[Q] = Vector(q34, q35, q36, q37, q38)
+  /** As-of join with TOLERANCE (vs q37's unbounded as-of): each
+    * purchase matches the user's latest strictly-earlier click only
+    * if it happened within the last hour — the bounded-staleness
+    * semantics trades/sensor pipelines need. One window over one
+    * shuffle; the strictly-before frame is ROWS ... 1 PRECEDING.
+    */
+  val q92 = Q(
+    "q92_asof_tolerance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("lc", last(
+          when(col("event_type") === "click", col("us")), ignoreNulls = true)
+          .over(Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("us") - col("lc") <= 3600000000L, col("lc")).as("click_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN us - lc <= 3600000000 THEN lc END AS click_us
+      |FROM (
+      |  SELECT event_id, user_id, event_type, us,
+      |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+      |  FROM (
+      |    SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+      |    FROM events WHERE event_type IN ('click', 'purchase')))
+      |WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q34, q35, q36, q37, q38, q92)
 }
