@@ -424,6 +424,27 @@ object PipelineOps {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin))
 
+  /** Fixed-width histogram of the value distribution (clamped top
+    * bucket) — the binning pass behind every quality-score /
+    * length-distribution report. One aggregation; bucket math is
+    * integer-exact.
+    */
+  val q94 = Q(
+    "q94_value_histogram",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("bucket",
+          least(floor(col("value") / 10), lit(9L)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(least(floor(value / 10), 9) AS INTEGER) AS bucket,
+      |  count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85, q88)
+    Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85, q88, q94)
 }

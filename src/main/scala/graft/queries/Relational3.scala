@@ -260,5 +260,35 @@ object Relational3 {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q71, q76, q77, q82, q86, q87, q89, q90)
+  /** Month-over-month revenue growth: lag over the monthly rollup —
+    * the reporting staple where the window runs over the aggregated
+    * series (84 rows), never the fact table. Growth divides two
+    * already-rounded month totals, so it's deterministic.
+    */
+  val q95 = Q(
+    "q95_monthly_growth",
+    (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .withColumn("prev", lag("rev", 1).over(
+          Window.orderBy(col("y"), col("m"))))
+        .withColumn("growth",
+          round((col("rev") - col("prev")) / col("prev"), 6))
+        .orderBy("y", "m")
+    },
+    Some("""SELECT y, m, rev,
+      |  lag(rev, 1) OVER (ORDER BY y, m) AS prev,
+      |  round((rev - lag(rev, 1) OVER (ORDER BY y, m)) /
+      |        lag(rev, 1) OVER (ORDER BY y, m), 6) AS growth
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |    CAST(month(o_orderdate) AS INTEGER) AS m,
+      |    round(sum(o_totalprice), 2) AS rev
+      |  FROM orders GROUP BY 1, 2)
+      |ORDER BY y, m""".stripMargin))
+
+  val all: Vector[Q] = Vector(q71, q76, q77, q82, q86, q87, q89, q90, q95)
 }
