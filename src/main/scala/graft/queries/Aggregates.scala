@@ -168,5 +168,27 @@ object Aggregates {
     (s, dir) => SchemaPreview.columnStats(t(s, dir, "lineitem"), statCols),
     Some(SchemaPreview.columnStatsSql("lineitem", statCols)))
 
-  val all: Vector[Q] = Vector(q13, q14, q15, q16, q17, q18, q19, q20)
+  /** Ordered string aggregation (Hive collect_list + concat_ws ≡ SQL
+    * LISTAGG/string_agg): group members rendered as one deterministic
+    * sorted string.
+    */
+  val q96b = Q(
+    "q98_group_concat",
+    (s, dir) => {
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin))
+
+  val all: Vector[Q] = Vector(q13, q14, q15, q16, q17, q18, q19, q20, q96b)
 }

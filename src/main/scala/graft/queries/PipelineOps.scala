@@ -445,6 +445,55 @@ object PipelineOps {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin))
 
+  /** Capstone corpus health report per source: volume, language
+    * spread, duplicate rate (via the normalized content key), size,
+    * and dominant language — the one-page summary a data curator
+    * pulls before admitting a source into training.
+    */
+  val q99 = Q(
+    "q99_corpus_report",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn("ck",
+        Portable.md5Long(array_join(array_sort(Portable.tokenSet(col("text"))), " ")))
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("ck").as("n_unique"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique") / col("n_docs"), 6))
+      val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("cnt").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source").as("s2"), col("lang").as("top_lang"))
+      base.join(topLang, col("source") === col("s2"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("dup_rate"), col("avg_chars"), col("top_lang"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT source, lang, n_chars,
+      |    ${Portable.md5LongSql(s"array_to_string(list_sort(${Portable.tokenSetSql("text")}), ' ')")} AS ck
+      |  FROM documents),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(DISTINCT ck) AS n_unique,
+      |    round(avg(n_chars), 4) AS avg_chars
+      |  FROM d GROUP BY 1),
+      |top AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY count(*) DESC, lang) AS rn
+      |    FROM d GROUP BY source, lang)
+      |  WHERE rn = 1)
+      |SELECT source, n_docs, n_langs,
+      |  round(1.0 - n_unique / n_docs, 6) AS dup_rate, avg_chars, top_lang
+      |FROM base JOIN top USING (source)
+      |ORDER BY source""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85, q88, q94)
+    Vector(q70, q72, q73, q74, q75, q78, q79, q81, q83, q84, q85, q88, q94, q99)
 }

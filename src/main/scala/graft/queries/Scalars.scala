@@ -204,5 +204,49 @@ object Scalars {
       |WHERE c_custkey <= 100
       |ORDER BY c_custkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(q28, q29, q30, q31, q32, q33)
+  /** Structured extraction with regex capture groups — the log-parsing
+    * shape: pull the numeric id out of the formatted key, validate the
+    * format with an anchored match.
+    */
+  val q96 = Q(
+    "q96_regexp_extract_groups",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("id_str"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1)
+            .cast("long").as("id_num"),
+          col("c_name").rlike("^Customer#\\d+$").as("well_formed"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS id_str,
+      |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS id_num,
+      |  regexp_matches(c_name, '^Customer#\d+$') AS well_formed
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin))
+
+  /** Interval arithmetic on timestamps: deadline shifting and
+    * seconds-since-midnight, all as integer epoch math on both sides.
+    */
+  val q97 = Q(
+    "q97_interval_arithmetic",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          unix_timestamp(col("ts") + expr("INTERVAL 90 MINUTES")).as("deadline_s"),
+          (unix_timestamp(col("ts")) -
+            unix_timestamp(date_trunc("day", col("ts")))).as("since_midnight_s"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      |  CAST(floor(epoch(ts + INTERVAL 90 MINUTE)) AS BIGINT) AS deadline_s,
+      |  CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS since_midnight_s
+      |FROM events
+      |ORDER BY event_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q28, q29, q30, q31, q32, q33, q96, q97)
 }
