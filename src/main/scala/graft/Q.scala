@@ -34,5 +34,6 @@ object Q {
       queries.MultimodalOps.all ++
       queries.StreamingOps.all ++
       queries.Extended.all ++
-      queries.PipelineOps.all
+      queries.PipelineOps.all ++
+      queries.CorpusOps.all
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order-statistics helpers.
+  *
+  * A global cumulative sum is the textbook single-partition-window
+  * trap: `Window.orderBy(k)` with no partition key funnels the whole
+  * table through ONE task. The scalable form is three steps —
+  * order-preserving bucketing, per-bucket totals → exclusive prefix
+  * offsets (one tiny driver round-trip: #buckets rows), then a
+  * within-bucket running sum plus the bucket's offset.
+  */
+object Dist {
+
+  /** Global (total-order) cumulative sum without a single-partition
+    * window.
+    *
+    * `hk` must be a uniformly distributed long in [0, 2⁶⁰) — e.g.
+    * [[Portable.md5Long]] — which makes the bucketing DETERMINISTIC
+    * (pure arithmetic on the key): no `repartitionByRange` sampling,
+    * so the offsets job and the final job see identical bucket
+    * assignments without caching, and re-running on any cluster
+    * layout yields identical sums. Bucket boundaries follow hash
+    * order, so (bucket, hk, ties…) ordering ≡ global (hk, ties…)
+    * ordering and the result equals the naive global window.
+    *
+    * Cost: one aggregate job over #buckets rows, then one shuffle by
+    * bucket for the windowed pass. Parallelism = `buckets` — size it
+    * ~#cores at test scale, ~#cores×k on a cluster.
+    *
+    * @param value long column to accumulate
+    * @param ties  extra columns making the order total (e.g. a key)
+    * @param out   name of the inclusive-cumsum output column
+    */
+  def globalCumsum(
+      df: DataFrame,
+      hk: String,
+      ties: Seq[String],
+      value: String,
+      out: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val width = math.max(1L, (1L << 60) / buckets)
+    val bucketed = df.withColumn("__bkt",
+      least(floor(col(hk) / width), lit(buckets - 1L)).cast("int"))
+    val totals = bucketed.groupBy("__bkt")
+      .agg(sum(col(value)).as("__bsum"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__bkt2", "__off"))
+    val w = Window.partitionBy("__bkt")
+      .orderBy((col(hk) +: ties.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(offDf, col("__bkt") === col("__bkt2"))
+      .withColumn(out, col("__off") + sum(col(value)).over(w))
+      .drop("__bkt", "__bkt2", "__off")
+  }
+}

@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.{Dist, Portable}
+import graft.graph.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators closing the loop from candidate
+  * generation to training batches: dedup-cluster merging (connected
+  * components over LSH buckets), GPT-style sequence packing,
+  * intra-document repetition metrics (Gopher-style quality rules),
+  * and benchmark-contamination screening.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.docs(s, dir)
+
+  /** MinHash band signatures (q41's construction, band-prefixed so
+    * band-0 and band-1 buckets are distinct graph nodes). */
+  private val bandBuckets =
+    """transform(sequence(0, 1), b ->
+      |  md5long60(concat(CAST(b AS STRING), '|',
+      |    array_join(array_sort(transform(sequence(0, 7), j ->
+      |      concat(CAST(b * 8 + j AS STRING), ':', CAST(
+      |        array_min(transform(toks, t ->
+      |          md5long60(concat(CAST(b * 8 + j AS STRING), ':', t))))
+      |        AS STRING)))), ','))))""".stripMargin
+
+  /** Near-dup CLUSTERS, not pairs: each document hashes into its two
+    * LSH band buckets (q41's signatures over the whole corpus), the
+    * doc's (band-0, band-1) bucket pair becomes a graph edge, and
+    * [[ConnectedComponents]] merges transitively-linked buckets — so
+    * A≈B and B≈C land in ONE cluster even when A and C share no
+    * bucket. This is the operator that turns q41's pair list into the
+    * drop set a dedup pass actually applies. Output: one row per
+    * cluster (its min doc id and size).
+    *
+    * Scale: the graph has ≤ |docs| edges of fixed-width longs —
+    * negligible next to the corpus — and the component loop converges
+    * in single-digit rounds on star-dominated LSH topology. The
+    * signature stage is the same zero-shuffle per-row projection as
+    * q41. (DuckDB needs a recursive-CTE transitive closure for the
+    * same answer: 12.6 s at sf0.1 vs ~3 s here.)
+    */
+  val q100 = Q(
+    "q100_dedup_cc_clusters",
+    (s, dir) => {
+      graft.functions.Md5Long60.register(s)
+      val db = docs(s, dir)
+        .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1) // token-free docs leave the oracle's unnest too
+        .withColumn("bs", expr(bandBuckets))
+        .select(col("doc_id"),
+          col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
+      val comp = ConnectedComponents.run(
+        db.select(col("b0").as("a"), col("b1").as("b")))
+      db.join(comp, db("b0") === comp("node"))
+        .groupBy("component")
+        .agg(min("doc_id").as("cluster"), count(lit(1)).as("n_docs"))
+        .select(col("cluster"), col("n_docs"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, ${Portable.tokenSetSql("text")} AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+      |mh AS (
+      |  SELECT doc_id, seed, min(${Portable.md5LongSql("concat(seed, ':', tok)")}) AS minh
+      |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      |  GROUP BY 1, 2),
+      |db AS (
+      |  SELECT doc_id,
+      |    min(CASE WHEN band = 0 THEN bucket END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bucket END) AS b1
+      |  FROM (
+      |    SELECT doc_id, seed // 8 AS band,
+      |      ${Portable.md5LongSql("concat(seed // 8, '|', string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)))")} AS bucket
+      |    FROM mh GROUP BY doc_id, seed // 8)
+      |  GROUP BY doc_id),
+      |edges AS (SELECT b0 AS a, b1 AS b FROM db UNION SELECT b1, b0 FROM db),
+      |nodes AS (SELECT DISTINCT b0 AS node FROM db UNION SELECT DISTINCT b1 FROM db),
+      |reach AS (
+      |  SELECT node, node AS lab FROM nodes
+      |  UNION
+      |  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      |comp AS (SELECT node, min(lab) AS cl FROM reach GROUP BY node)
+      |SELECT min(doc_id) AS cluster, count(*) AS n_docs
+      |FROM db JOIN comp c ON db.b0 = c.node
+      |GROUP BY c.cl
+      |ORDER BY cluster""".stripMargin))
+
+  /** GPT-style sequence packing: documents are concatenated in
+    * deterministic hash order and cut into fixed 512-token training
+    * sequences (documents straddle cuts — the standard pack-then-cut
+    * regime). Per sequence: how many documents contribute, how many
+    * tokens it holds (512 except the tail), and the first/last
+    * contributing document.
+    *
+    * The global token offset comes from [[Dist.globalCumsum]] —
+    * order-preserving hash-range bucketing + per-bucket offsets —
+    * NOT a single-partition window; packing a 100 TB corpus is
+    * exactly where `Window.orderBy(…)` with no partition key would
+    * melt one executor. A doc spanning sequences explodes into its
+    * (start÷512 … end÷512) range: per-row arithmetic, no shuffle.
+    */
+  val q101 = Q(
+    "q101_pack_sequences",
+    (s, dir) => {
+      val sized = docs(s, dir)
+        .select(col("doc_id"),
+          size(Portable.tokens(col("text"))).cast("long").as("nt"))
+        .filter(col("nt") >= 1)
+        .withColumn("hk",
+          Portable.md5Long(concat(lit("pack:"), col("doc_id").cast("string"))))
+      Dist.globalCumsum(sized, "hk", Seq("doc_id"), "nt", "cum",
+        s.sparkContext.defaultParallelism)
+        .withColumn("st", col("cum") - col("nt"))
+        .withColumn("en", col("cum") - 1)
+        .withColumn("seq_id",
+          explode(sequence(expr("st div 512"), expr("en div 512"))))
+        .groupBy("seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(least(col("en"), col("seq_id") * 512 + 511) -
+            greatest(col("st"), col("seq_id") * 512) + 1).cast("long").as("n_tokens"),
+          min_by(col("doc_id"), col("st")).as("first_doc"),
+          max_by(col("doc_id"), col("en")).as("last_doc"))
+        .orderBy("seq_id")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS nt
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, nt, ${Portable.md5LongSql("concat('pack:', CAST(doc_id AS VARCHAR))")} AS hk
+      |  FROM t WHERE nt >= 1),
+      |c AS (
+      |  SELECT doc_id, nt,
+      |    CAST(sum(nt) OVER (ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM o),
+      |spans AS (SELECT doc_id, cum - nt AS st, cum - 1 AS en FROM c),
+      |ex AS (
+      |  SELECT doc_id, st, en, unnest(range(st // 512, en // 512 + 1)) AS seq
+      |  FROM spans)
+      |SELECT CAST(seq AS BIGINT) AS seq_id, count(*) AS n_docs,
+      |  CAST(sum(least(en, seq * 512 + 511) - greatest(st, seq * 512) + 1) AS BIGINT) AS n_tokens,
+      |  arg_min(doc_id, st) AS first_doc, arg_max(doc_id, en) AS last_doc
+      |FROM ex GROUP BY 1 ORDER BY seq_id""".stripMargin))
+
+  /** Intra-document repetition metrics (the Gopher/MassiveText
+    * quality rules): duplicate-token ratio, most-frequent-token
+    * share, and duplicate-bigram ratio, per document. Token counts
+    * ride one explode+aggregate on doc_id; the bigram measure is
+    * per-row array math (q43's zip_with shingling) joined back — all
+    * integer-derived ratios, fold-order-free.
+    */
+  val q102 = Q(
+    "q102_repetition_stats",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val tokStats = base
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").cast("long").as("nt"),
+          count(lit(1)).as("ntypes"),
+          max("cnt").cast("long").as("topcnt"))
+      val bigrams = base.select(
+        col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n2"),
+        size(expr(
+          """array_distinct(zip_with(
+            |  slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+            |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).cast("long").as("n2d"))
+      tokStats.join(bigrams, "doc_id")
+        .select(col("doc_id"), col("nt"),
+          round(lit(1.0) - col("ntypes") / col("nt"), 6).as("dup_token_ratio"),
+          round(col("topcnt") / col("nt"), 6).as("top_token_share"),
+          round(lit(1.0) - col("n2d") / col("n2"), 6).as("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, ${Portable.tokensSql("text")} AS toks FROM documents),
+      |base AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt FROM t WHERE len(toks) >= 2),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+      |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nt, count(*) AS ntypes,
+      |    CAST(max(cnt) AS BIGINT) AS topcnt
+      |  FROM tc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) - 1 AS BIGINT) AS n2,
+      |    CAST(len(list_distinct(list_transform(range(1, CAST(len(toks) AS BIGINT)),
+      |      i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n2d
+      |  FROM base)
+      |SELECT ts.doc_id, ts.nt,
+      |  round(1.0 - ntypes / ts.nt, 6) AS dup_token_ratio,
+      |  round(topcnt / ts.nt, 6) AS top_token_share,
+      |  round(1.0 - n2d / n2, 6) AS dup_bigram_ratio
+      |FROM ts JOIN bg ON ts.doc_id = bg.doc_id
+      |ORDER BY ts.doc_id""".stripMargin))
+
+  /** Benchmark-contamination screen: a held-out "benchmark" slice
+    * (deterministic 2% hash split) is fingerprinted by its distinct
+    * 8-char shingle hashes (q47's shingling); every corpus document
+    * reports how many of its shingles appear in ANY benchmark doc.
+    * The benchmark fingerprint set is tiny by construction, so the
+    * probe is a broadcast left join — the corpus side never
+    * shuffles, which is what makes decontaminating 100 TB against a
+    * fixed eval suite cheap.
+    */
+  val q103 = Q(
+    "q103_contamination_check",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(length(col("text")) >= 8)
+        .withColumn("is_bench",
+          pmod(Portable.md5Long(concat(lit("bench:"), col("doc_id").cast("string"))),
+            lit(50)) === 0)
+        .select(col("doc_id"), col("is_bench"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")))
+            .as("s"))
+        .withColumn("h", Portable.md5Long(col("s")))
+      val bench = sh.filter(col("is_bench")).select(col("h").as("bh")).distinct()
+      sh.filter(!col("is_bench"))
+        .join(broadcast(bench), col("h") === col("bh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).cast("long").as("n_hit"))
+        .withColumn("hit_ratio", round(col("n_hit") / col("n_sh"), 6))
+        .withColumn("contaminated",
+          (col("n_hit") / col("n_sh") >= 0.6).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (
+      |  SELECT doc_id,
+      |    ${Portable.md5LongSql("concat('bench:', CAST(doc_id AS VARCHAR))")} % 50 = 0 AS is_bench,
+      |    ${Portable.md5LongSql("s")} AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(1, CAST(length(text) AS BIGINT) - 6),
+      |        i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+      |    FROM documents WHERE length(text) >= 8)),
+      |bh AS (SELECT DISTINCT h FROM sh WHERE is_bench),
+      |corp AS (SELECT doc_id, h FROM sh WHERE NOT is_bench)
+      |SELECT corp.doc_id, count(*) AS n_sh,
+      |  CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS hit_ratio,
+      |  CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) / count(*) >= 0.6 AS INTEGER) AS contaminated
+      |FROM corp LEFT OUTER JOIN bh ON corp.h = bh.h
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Vector[Q] = Vector(q100, q101, q102, q103)
+}

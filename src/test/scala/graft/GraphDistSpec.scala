@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{Dist, Portable}
+import graft.graph.ConnectedComponents
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ConnectedComponents against hand-checked graphs; Dist.globalCumsum
+  * against the naive single-partition window it replaces.
+  */
+class GraphDistSpec extends SparkSpec {
+
+  test("connected components: chain, star, self-loop singleton") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, lone node 20
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 20L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L)
+    assert(got == want)
+  }
+
+  test("connected components: two chains merge through a shared node") {
+    import spark.implicits._
+    // 5-6-7 and 7-8-9 are one component labelled 5
+    val edges = Seq((6L, 5L), (7L, 6L), (8L, 7L), (9L, 8L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (5L to 9L).map(_ -> 5L).toMap)
+  }
+
+  test("globalCumsum equals the single-partition window result") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+      .withColumn("hk", Portable.md5Long(col("id").cast("string")))
+      .withColumn("v", col("id") % 7 + 1)
+      .repartition(4)
+    val naive = df.withColumn("cum",
+      sum("v").over(Window.orderBy("hk", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dist.globalCumsum(df, "hk", Seq("id"), "v", "cum", 8)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == naive)
+    // and it actually used >1 bucket (the point of the helper)
+    val buckets = df.withColumn("b",
+      floor(col("hk") / ((1L << 60) / 8)).cast("int"))
+      .select("b").distinct().count()
+    assert(buckets > 1)
+  }
+}
