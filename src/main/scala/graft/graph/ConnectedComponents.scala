@@ -13,20 +13,23 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: every node starts labelled with itself; each round
   * re-labels a node with the minimum label among itself and its
-  * neighbours; fixpoint = every node carries the minimum node id of
-  * its component. Rounds are bounded by the graph diameter, and each
-  * round is two shuffles of fixed-width longs (a join edge⋈label and
-  * a groupBy-min) — no driver-side graph state, no adjacency
-  * materialisation beyond the edge list.
+  * neighbours (self-loops make the node's own label arrive through
+  * the same join), then compresses pointers by following each label
+  * to that label's own label — pointer halving, which keeps the round
+  * count logarithmic in component diameter instead of linear (the
+  * worst case for chained near-dups). Fixpoint = every node carries
+  * the minimum node id of its component.
   *
-  * Scale: LSH bucket graphs are star-dominated (a bucket connects all
-  * its members), so the diameter — and the round count — stays single
-  * digit even at 10⁹ nodes; for adversarial long chains the
-  * large-star/small-star variant halves rounds, which this corpus
-  * does not need. Labels are localCheckpoint'ed every round to
-  * truncate lineage (a 10-round loop would otherwise re-plan a
-  * 20-join tree); a multi-hour production run would swap in reliable
-  * `checkpoint` against the cluster store every k rounds.
+  * Iteration discipline (this is where naive Spark loops die):
+  * each round is exactly ONE action — the convergence aggregate —
+  * which materialises that round's label table into the block-manager
+  * cache on the way; propagate, compress, and the convergence sum all
+  * ride the same job. The compress self-join's two references to the
+  * propagation subplan dedup to a single exchange (ReusedExchange),
+  * and lineage is truncated by localCheckpoint every few rounds so
+  * plan analysis stays O(1) per round. A multi-hour production run
+  * would swap the periodic localCheckpoint for reliable `checkpoint`
+  * against the cluster store.
   */
 object ConnectedComponents {
 
@@ -36,32 +39,55 @@ object ConnectedComponents {
     *         component = min node id reachable from `node`
     */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // symmetrised edge list WITH self-loops: a node's own label then
+    // arrives through the join like any neighbour's, so each round is
+    // a plain join+groupBy (no union arm for Catalyst to rewrite)
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
       .distinct()
       .localCheckpoint(true)
-    var lbl = sym.select(col("a").as("node")).distinct()
-      .withColumn("lab", col("node"))
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .union(nodes.select(col("node").as("a"), col("node").as("b")))
+      .distinct()
       .localCheckpoint(true)
+    var lbl = nodes.withColumn("lab", col("node")).localCheckpoint(true)
     // labels only ever decrease, so sum(labels) strictly decreases
     // until the fixpoint: an unchanged sum IS convergence (cheaper
     // than an anti-join change count; decimal beats long overflow at
     // 2^60-sized labels × 10⁹ nodes)
     var prevSum = lbl.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+    var cached = List.empty[DataFrame]
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val next = sym.join(lbl, sym("b") === lbl("node"))
+      val prop = sym.join(lbl, sym("b") === lbl("node"))
         .select(sym("a").as("node"), col("lab"))
-        .union(lbl)
         .groupBy("node").agg(min("lab").as("lab"))
-        .localCheckpoint(true)
+      val next = prop
+        .join(prop.select(col("node").as("n2"), col("lab").as("lab2")),
+          col("lab") === col("n2"))
+        .select(col("node"), col("lab2").as("lab"))
+        .persist()
       val s = next.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
       done = s.compareTo(prevSum) == 0
       prevSum = s
-      lbl = next
       iter += 1
+      if (iter % 4 == 0 && !done) {
+        // truncate lineage; the checkpoint replaces the cache chain
+        lbl = next.localCheckpoint(true)
+        (next :: cached).foreach(_.unpersist(false))
+        cached = Nil
+      } else {
+        lbl = next
+        cached = next :: cached
+      }
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(s"[cc] round $iter labelSum=$s")
     }
-    lbl.select(col("node"), col("lab").as("component"))
+    val out = lbl.select(col("node"), col("lab").as("component"))
+      .localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
   }
 }

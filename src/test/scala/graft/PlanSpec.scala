@@ -81,4 +81,23 @@ class PlanSpec extends SparkSpec {
     val s = q("q41_dedup_minhash_lsh").queryExecution.executedPlan.toString
     assert(s.contains("sorted_intersect_count"), s.take(2000))
   }
+
+  test("q101: packing cumsum windows are bucket-partitioned, never global") {
+    val s = q("q101_pack_sequences").queryExecution.executedPlan.toString
+    // every Window operator must carry a partition spec (__bkt);
+    // an empty partitionBy would funnel the corpus through one task
+    val windows = "Window \\[".r.findAllIn(s).toList
+    assert(windows.nonEmpty, "expected a windowed running sum")
+    assert(s.contains("__bkt"), s"window must partition by the hash bucket:\n${s.take(2000)}")
+    assert(!s.contains("SinglePartition"),
+      s"no stage may collapse to a single partition:\n${s.take(2000)}")
+  }
+
+  test("q103: benchmark fingerprint set probes as a broadcast join") {
+    val df = q("q103_contamination_check")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"tiny bench-shingle side must broadcast:\n${s.take(2000)}")
+  }
 }
