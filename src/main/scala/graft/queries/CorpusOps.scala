@@ -256,5 +256,97 @@ object CorpusOps {
       |FROM corp LEFT OUTER JOIN bh ON corp.h = bh.h
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Vector[Q] = Vector(q100, q101, q102, q103)
+  /** Domain-mixture reweighting: per-source sampling weights that
+    * steer the corpus toward a uniform source mix WITHOUT upsampling
+    * (weight = min(1, target_share / actual_share) — downsample-only
+    * waterfill). The entire computation is two scalar aggregates and
+    * a broadcast of one row per source; shares divide exact integer
+    * token counts, so every engine derives identical weights.
+    */
+  val q104 = Q(
+    "q104_mixture_weights",
+    (s, dir) => {
+      val perSource = docs(s, dir)
+        .select(col("source"), size(Portable.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("sum_tokens"))
+      val totals = perSource.agg(
+        sum("sum_tokens").cast("long").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("actual_share", col("sum_tokens") / col("total_tokens"))
+        .withColumn("weight",
+          least(lit(1.0), (lit(1.0) / col("n_sources")) / col("actual_share")))
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          round(col("actual_share"), 6).as("actual_share"),
+          round(col("weight"), 6).as("weight"),
+          round(col("n_docs") * col("weight")).cast("long").as("expected_docs"))
+        .orderBy("source")
+    },
+    Some(s"""WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(${Portable.tokensSql("text")})) AS BIGINT) AS sum_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(sum_tokens) AS BIGINT) AS total_tokens,
+      |    count(*) AS n_sources
+      |  FROM per_source)
+      |SELECT source, n_docs, sum_tokens,
+      |  round(sum_tokens / total_tokens, 6) AS actual_share,
+      |  round(least(1.0, (1.0 / n_sources) / (sum_tokens / total_tokens)), 6) AS weight,
+      |  CAST(round(n_docs * least(1.0, (1.0 / n_sources) / (sum_tokens / total_tokens))) AS BIGINT) AS expected_docs
+      |FROM per_source CROSS JOIN tot
+      |ORDER BY source""".stripMargin))
+
+  /** Per-language quality gate: keep each language's top half of
+    * documents by type-token ratio. The gate is RANK-based (discrete
+    * — keep rank ≤ ⌈n/2⌉ by (ttr desc, doc_id)), not an interpolated
+    * median: comparing two docs' ttr is safe across engines (both
+    * compute the same single division), whereas `x >= quantile_cont`
+    * compares against an engine-interpolated value whose last ulp is
+    * fold-order-dependent. One window shuffle on the language key.
+    */
+  val q105 = Q(
+    "q105_quality_gate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(Portable.tokens(col("text"))).cast("long").as("nt"),
+          size(Portable.tokenSet(col("text"))).cast("long").as("ntypes"))
+        .filter(col("nt") >= 1)
+        .withColumn("ttr", col("ntypes") / col("nt"))
+      val w = Window.partitionBy("lang")
+      d.withColumn("rn", row_number().over(
+          w.orderBy(col("ttr").desc, col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("keep", col("rn") <= ceil(col("n") / 2))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(col("keep"), col("nt"))).cast("long").as("kept_tokens"),
+          round(min(when(col("keep"), col("ttr"))), 6).as("gate_ttr"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS nt,
+      |    CAST(len(${Portable.tokenSetSql("text")}) AS BIGINT) AS ntypes
+      |  FROM documents
+      |  WHERE len(${Portable.tokensSql("text")}) >= 1),
+      |r AS (
+      |  SELECT doc_id, lang, nt, ntypes / nt AS ttr,
+      |    row_number() OVER (PARTITION BY lang ORDER BY ntypes / nt DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM d)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rn <= ceil(n / 2.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn <= ceil(n / 2.0) THEN nt END) AS BIGINT) AS kept_tokens,
+      |  round(min(CASE WHEN rn <= ceil(n / 2.0) THEN ttr END), 6) AS gate_ttr
+      |FROM r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin))
+
+  val all: Vector[Q] = Vector(q100, q101, q102, q103, q104, q105)
 }
