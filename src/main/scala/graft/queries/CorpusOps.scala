@@ -48,12 +48,16 @@ object CorpusOps {
     "q100_dedup_cc_clusters",
     (s, dir) => {
       graft.functions.Md5Long60.register(s)
+      // localCheckpoint: the signature projection (16 md5 min-hashes
+      // per doc) feeds BOTH the component loop and the final cluster
+      // join — without pinning it the heaviest stage runs twice
       val db = docs(s, dir)
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) >= 1) // token-free docs leave the oracle's unnest too
         .withColumn("bs", expr(bandBuckets))
         .select(col("doc_id"),
           col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
+        .localCheckpoint(true)
       val comp = ConnectedComponents.run(
         db.select(col("b0").as("a"), col("b1").as("b")))
       db.join(comp, db("b0") === comp("node"))
