@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,5 +63,45 @@ object Dist {
     bucketed.join(offDf, col("__bkt") === col("__bkt2"))
       .withColumn(out, col("__off") + sum(col(value)).over(w))
       .drop("__bkt", "__bkt2", "__off")
+  }
+
+  /** Global ORDER BY rank (dense total order, ties broken by the
+    * order columns themselves) without a single-partition window.
+    *
+    * Unlike [[globalCumsum]] the order key here is arbitrary (e.g.
+    * revenue DESC), so buckets come from `repartitionByRange` —
+    * whose boundaries are SAMPLED. The ranged frame is eagerly
+    * localCheckpoint'ed so the per-bucket counts job and the final
+    * windowed pass see the *same* boundary draw (without the pin the
+    * two jobs could re-sample different boundaries and the offsets
+    * would be wrong). Result = per-bucket row_number plus the
+    * exclusive prefix of bucket counts (one #buckets-row driver
+    * round-trip), identical to the naive global window.
+    *
+    * @param order total-order columns (include a tiebreaker key)
+    * @param out   name of the 1-based rank output column (long)
+    */
+  def globalRank(
+      df: DataFrame,
+      order: Seq[Column],
+      out: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val ranged = df.repartitionByRange(buckets, order: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__pid2", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged.join(offDf, col("__pid") === col("__pid2"))
+      .withColumn(out, col("__off") + row_number().over(w).cast("long"))
+      .drop("__pid", "__pid2", "__off")
   }
 }

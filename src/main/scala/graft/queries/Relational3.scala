@@ -290,5 +290,33 @@ object Relational3 {
       |  FROM orders GROUP BY 1, 2)
       |ORDER BY y, m""".stripMargin))
 
-  val all: Vector[Q] = Vector(q71, q76, q77, q82, q86, q87, q89, q90, q95)
+  /** Global ORDER BY rank over every customer's lifetime spend —
+    * the full-table ranking a leaderboard/export needs. Ranks come
+    * from [[graft.functions.Dist.globalRank]]: range-bucketed
+    * two-phase ranking (per-bucket row_number + broadcast prefix
+    * offsets), because the naive `row_number() OVER (ORDER BY …)`
+    * with no partition key funnels the whole table through one task —
+    * the q101 cumsum trap in rank form.
+    */
+  val q106 = Q(
+    "q106_global_spend_rank",
+    (s, dir) => {
+      val spend = Tables.t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum("o_totalprice").as("total"))
+      graft.functions.Dist.globalRank(
+          spend, Seq(col("total").desc, col("custkey")), "rnk",
+          s.sparkContext.defaultParallelism)
+        .select(col("custkey"), round(col("total"), 2).as("total"), col("rnk"))
+        .orderBy("rnk")
+    },
+    Some("""SELECT o_custkey AS custkey, round(total, 2) AS total,
+      |  CAST(row_number() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk
+      |FROM (
+      |  SELECT o_custkey, sum(o_totalprice) AS total
+      |  FROM orders GROUP BY 1)
+      |ORDER BY rnk""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q71, q76, q77, q82, q86, q87, q89, q90, q95, q106)
 }

@@ -54,4 +54,16 @@ class GraphDistSpec extends SparkSpec {
       .select("b").distinct().count()
     assert(buckets > 1)
   }
+
+  test("globalRank equals the single-partition window result") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, i * 37 % 101)).toDF("id", "score")
+      .repartition(4)
+    val naive = df.withColumn("rnk",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dist.globalRank(df, Seq(col("score").desc, col("id")), "rnk", 6)
+      .select("id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == naive)
+  }
 }
