@@ -48,10 +48,15 @@ object Md5Long60 {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** First 60 bits of md5(s) as a non-negative long. */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** Same hash straight over raw bytes (kernel-side callers that
+    * build their inputs without a UTF8String round-trip).
+    */
+  def hashBytes(b: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(b)
     ByteBuffer.wrap(d).getLong >>> 4
   }
 

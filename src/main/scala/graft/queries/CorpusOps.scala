@@ -17,17 +17,6 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.docs(s, dir)
 
-  /** MinHash band signatures (q41's construction, band-prefixed so
-    * band-0 and band-1 buckets are distinct graph nodes). */
-  private val bandBuckets =
-    """transform(sequence(0, 1), b ->
-      |  md5long60(concat(CAST(b AS STRING), '|',
-      |    array_join(array_sort(transform(sequence(0, 7), j ->
-      |      concat(CAST(b * 8 + j AS STRING), ':', CAST(
-      |        array_min(transform(toks, t ->
-      |          md5long60(concat(CAST(b * 8 + j AS STRING), ':', t))))
-      |        AS STRING)))), ','))))""".stripMargin
-
   /** Near-dup CLUSTERS, not pairs: each document hashes into its two
     * LSH band buckets (q41's signatures over the whole corpus), the
     * doc's (band-0, band-1) bucket pair becomes a graph edge, and
@@ -47,14 +36,15 @@ object CorpusOps {
   val q100 = Q(
     "q100_dedup_cc_clusters",
     (s, dir) => {
-      graft.functions.Md5Long60.register(s)
+      graft.functions.MinHashBands.register(s)
       // localCheckpoint: the signature projection (16 md5 min-hashes
-      // per doc) feeds BOTH the component loop and the final cluster
-      // join — without pinning it the heaviest stage runs twice
+      // per doc, one codegen'd [[MinHashBands]] pass) feeds BOTH the
+      // component loop and the final cluster join — without pinning
+      // it the heaviest stage runs twice
       val db = docs(s, dir)
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) >= 1) // token-free docs leave the oracle's unnest too
-        .withColumn("bs", expr(bandBuckets))
+        .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
         .select(col("doc_id"),
           col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
         .localCheckpoint(true)

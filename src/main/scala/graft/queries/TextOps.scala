@@ -138,24 +138,19 @@ object TextOps {
       val toksH = toks.select(col("doc_id"),
         expr("array_sort(transform(toks, t -> md5long60(t)))").as("toks"))
       // The whole signature matrix (16 min-hashes → 2 band sigs) is
-      // per-row array math inside one codegen'd projection: zero
-      // shuffles before the bucket join (the explode+groupBy(min)
+      // ONE codegen'd pass per row ([[graft.functions.MinHashBands]]
+      // — the HOF formulation interprets ~16×|toks| lambdas per doc):
+      // zero shuffles before the bucket join (the explode+groupBy(min)
       // formulation shuffles |docs|×|tokens|×16 rows — needless).
-      // Band sigs join as 60-bit hashes of the same "seed:minh,…"
-      // strings the oracle sorts and concatenates.
+      // Buckets are band-prefixed hashes of the same "b|seed:minh,…"
+      // strings the oracle sorts and concatenates, so equality on the
+      // bucket value alone IS the (band, signature) match.
+      graft.functions.MinHashBands.register(s)
       val sigs = toks
-        .withColumn("sigs", expr(
-          """transform(sequence(0, 1), b ->
-            |  md5long60(array_join(array_sort(transform(sequence(0, 7), j ->
-            |    concat(CAST(b * 8 + j AS STRING), ':', CAST(
-            |      array_min(transform(toks, t ->
-            |        md5long60(concat(CAST(b * 8 + j AS STRING), ':', t))))
-            |      AS STRING)))), ',')))""".stripMargin))
-        .select(col("doc_id"), posexplode(col("sigs")))
-        .toDF("doc_id", "band", "sig")
+        .select(col("doc_id"), explode(expr("minhash_bands(toks, 2, 8)")).as("sig"))
       val cand = sigs.alias("sa").hint("shuffle_hash")
         .join(sigs.alias("sb"),
-          col("sa.band") === col("sb.band") && col("sa.sig") === col("sb.sig") &&
+          col("sa.sig") === col("sb.sig") &&
             col("sa.doc_id") < col("sb.doc_id"))
         .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
         .distinct()
@@ -201,19 +196,21 @@ object TextOps {
   val q42 = Q(
     "q42_dedup_simhash",
     (s, dir) => {
+      // one codegen'd [[SimHash32]] pass per doc: the exploded
+      // formulation shuffles |docs|×|toks|×32 vote rows through two
+      // aggregations for what is per-row integer math
+      graft.functions.SimHash32.register(s)
       val sim = docs(s, dir).filter(col("lang") === "de")
-        .select(col("doc_id"), explode(Portable.tokenSet(col("text"))).as("tok"))
-        .withColumn("h32", Portable.md5Long(col("tok")) % lit(4294967296L))
-        .withColumn("i", explode(sequence(lit(0), lit(31))))
-        .withColumn("contrib", expr("2 * ((h32 div CAST(pow(2, i) AS BIGINT)) % 2) - 1"))
-        .groupBy("doc_id", "i").agg(sum("contrib").as("bal"))
-        .withColumn("bitv", when(col("bal") >= 0, 1L).otherwise(0L))
-        .groupBy("doc_id")
-        .agg(sum(expr("bitv * CAST(pow(2, i) AS BIGINT)")).as("simhash"))
+        .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1) // exploded form emits no row for token-free docs
+        .select(col("doc_id"), expr("simhash32(toks)").as("simhash"))
       val banded = sim
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("byte", expr("(simhash div CAST(pow(2, band * 8) AS BIGINT)) % 256"))
-      banded.alias("x")
+      // shuffle join so the two identical sides resolve to ONE
+      // exchange (ReusedExchange): without it each side re-tokenizes
+      // and re-hashes the corpus — the q40 lesson in SimHash form
+      banded.alias("x").hint("shuffle_hash")
         .join(banded.alias("y"),
           col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -65,4 +65,51 @@ class KernelPropSpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("minhash_bands kernel == the portable seed:token formulation") {
+    import graft.functions.{Md5Long60, MinHashBands}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "δ-unicode", "42", ""))
+    def reference(toks: List[String], bands: Int, rows: Int): Array[Long] =
+      (0 until bands).map { b =>
+        val parts =
+          if (toks.isEmpty) Seq.empty
+          else (0 until rows).map { j =>
+            val sd = b * rows + j
+            val minh = toks.map(t =>
+              Md5Long60.hash(UTF8String.fromString(s"$sd:$t"))).min
+            s"$sd:$minh"
+          }
+        Md5Long60.hash(UTF8String.fromString(
+          s"$b|${parts.sorted.mkString(",")}"))
+      }.toArray
+    samples(tokens, n = 200).foreach { toks =>
+      val got = MinHashBands.bandSigs(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray), 2, 8)
+        .toLongArray()
+      assert(got.sameElements(reference(toks, 2, 8)), s"toks=$toks")
+    }
+  }
+
+  test("simhash32 kernel == the exploded bit-vote formulation") {
+    import graft.functions.{Md5Long60, SimHash32}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "42", "x"))
+        .map(_.distinct)
+    def reference(toks: List[String]): Long =
+      (0 until 32).map { i =>
+        val bal = toks.map { t =>
+          val h32 = Md5Long60.hash(UTF8String.fromString(t)) % 4294967296L
+          2 * ((h32 / math.pow(2, i).toLong) % 2) - 1
+        }.sum
+        (if (bal >= 0) 1L else 0L) * math.pow(2, i).toLong
+      }.sum
+    samples(tokens, n = 200).foreach { toks =>
+      val got = SimHash32.simhash(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray))
+      assert(got == reference(toks), s"toks=$toks")
+    }
+  }
 }
