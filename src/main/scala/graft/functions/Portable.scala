@@ -33,15 +33,21 @@ object Portable {
   /** Whitespace tokenization shared by the text operators: split on
     * runs of whitespace, drop empties (Spark `split` and DuckDB
     * `string_split_regex` both emit empty strings at the boundaries).
+    * Backed by the codegen'd [[TokenizeWs]] kernel — semantically
+    * `filter(split(c, '\\s+'), t -> length(t) > 0)`, the form the
+    * DuckDB oracle runs (KernelPropSpec pins the equivalence).
     */
   def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TokenizeWs(org.apache.spark.sql.GraftSqlBridge.expression(c), distinct = false))
 
   def tokensSql(expr: String): String =
     s"list_filter(string_split_regex($expr, '\\s+'), t -> length(t) > 0)"
 
   /** Distinct tokens (set semantics for Jaccard et al). */
-  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+  def tokenSet(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TokenizeWs(org.apache.spark.sql.GraftSqlBridge.expression(c), distinct = true))
 
   def tokenSetSql(expr: String): String =
     s"list_distinct(${tokensSql(expr)})"

@@ -92,6 +92,29 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenize_ws kernel == split('\\s+') + length filter [+ distinct]") {
+    import graft.functions.TokenizeWs
+    import org.apache.spark.unsafe.types.UTF8String
+    // mixed content: words, every Java \s char, unicode (incl. NBSP
+    //   which \s must NOT split on), repeats for the distinct leg
+    val piece: Gen[String] = Gen.oneOf(
+      "alpha", "beta", "beta", "δ", "漢字", " ", "x y",
+      " ", "\t", "\n", "", "\f", "\r", "  ", "\r\n", "")
+    val text: Gen[String] = Gen.listOf(piece).map(_.mkString)
+    def reference(s: String, distinct: Boolean): Seq[String] = {
+      val toks = s.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+      if (distinct) toks.distinct else toks
+    }
+    samples(text, n = 400).foreach { s =>
+      Seq(false, true).foreach { d =>
+        val got = TokenizeWs.tokenize(UTF8String.fromString(s), d)
+        val gotSeq = (0 until got.numElements())
+          .map(i => got.getUTF8String(i).toString)
+        assert(gotSeq == reference(s, d), s"text=${s.map(_.toInt)} distinct=$d")
+      }
+    }
+  }
+
   test("simhash32 kernel == the exploded bit-vote formulation") {
     import graft.functions.{Md5Long60, SimHash32}
     import org.apache.spark.unsafe.types.UTF8String

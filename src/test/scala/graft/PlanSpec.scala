@@ -82,6 +82,23 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("sorted_intersect_count"), s.take(2000))
   }
 
+  test("q41/q42: signature kernels run inside whole-stage codegen") {
+    // the kernels exist to replace interpreted HOF lambdas — if a
+    // plan change ever pushes them out of a WholeStageCodegen span
+    // (e.g. behind a CodegenFallback wrapper) the win silently
+    // reverts. AQE finalizes codegen stages at execution, so collect
+    // first; codegen'd operators print with a "*(id)" prefix.
+    Seq("q41_dedup_minhash_lsh" -> "minhash_bands",
+        "q42_dedup_simhash" -> "simhash32").foreach { case (name, fn) =>
+      val df = q(name)
+      df.collect()
+      val starred = planString(df).linesIterator
+        .filter(_.contains(fn)).toList
+      assert(starred.nonEmpty && starred.forall(_.trim.matches("""[+:\-\s]*\*\(\d+\).*""")),
+        s"$fn must sit inside a WholeStageCodegen span of $name:\n${starred.mkString("\n")}")
+    }
+  }
+
   test("q101: packing cumsum windows are bucket-partitioned, never global") {
     val s = q("q101_pack_sequences").queryExecution.executedPlan.toString
     // every Window operator must carry a partition spec (__bkt);
