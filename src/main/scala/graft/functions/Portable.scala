@@ -51,4 +51,12 @@ object Portable {
 
   def tokenSetSql(expr: String): String =
     s"list_distinct(${tokensSql(expr)})"
+
+  /** `array_sort(transform(arr, t -> md5long60(t)))` via the
+    * one-pass [[Md5Sorted]] kernel — the sorted-hash form the
+    * merge-scan intersect consumes.
+    */
+  def md5Sorted(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Md5Sorted(org.apache.spark.sql.GraftSqlBridge.expression(c)))
 }

@@ -162,13 +162,13 @@ object CorpusOps {
         .agg(sum("cnt").cast("long").as("nt"),
           count(lit(1)).as("ntypes"),
           max("cnt").cast("long").as("topcnt"))
+      graft.functions.TextKernels.register(s)
       val bigrams = base.select(
         col("doc_id"),
         (size(col("toks")) - 1).cast("long").as("n2"),
-        size(expr(
-          """array_distinct(zip_with(
-            |  slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
-            |  (x, y) -> concat(x, ' ', y)))""".stripMargin)).cast("long").as("n2d"))
+        // one-pass kernel: counts distinct bigram STRINGS without
+        // ever materialising the bigram array
+        expr("distinct_bigram_count(toks)").cast("long").as("n2d"))
       tokStats.join(bigrams, "doc_id")
         .select(col("doc_id"), col("nt"),
           round(lit(1.0) - col("ntypes") / col("nt"), 6).as("dup_token_ratio"),
@@ -211,16 +211,16 @@ object CorpusOps {
   val q103 = Q(
     "q103_contamination_check",
     (s, dir) => {
+      graft.functions.TextKernels.register(s)
       val sh = docs(s, dir)
         .filter(length(col("text")) >= 8)
         .withColumn("is_bench",
           pmod(Portable.md5Long(concat(lit("bench:"), col("doc_id").cast("string"))),
             lit(50)) === 0)
+        // distinct 8-char-window hashes in one kernel pass (the HOF
+        // form materialised every window string before hashing)
         .select(col("doc_id"), col("is_bench"),
-          explode(array_distinct(expr(
-            "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")))
-            .as("s"))
-        .withColumn("h", Portable.md5Long(col("s")))
+          explode(expr("char_shingle_hashes(text, 8)")).as("h"))
       val bench = sh.filter(col("is_bench")).select(col("h").as("bh")).distinct()
       sh.filter(!col("is_bench"))
         .join(broadcast(bench), col("h") === col("bh"), "left_outer")

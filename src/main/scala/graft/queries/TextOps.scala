@@ -86,8 +86,7 @@ object TextOps {
       graft.functions.SetOps.register(s)
       val ex = docs(s, dir)
         .select(col("doc_id"), blockKey.as("bk"),
-          array_sort(transform(Portable.tokenSet(col("text")), Portable.md5Long(_)))
-            .as("toks"))
+          Portable.md5Sorted(Portable.tokenSet(col("text"))).as("toks"))
         .withColumn("n", size(col("toks")))
       ex.select(col("doc_id").as("doc_a"), col("bk"), col("toks").as("ta"), col("n").as("na"))
         .hint("shuffle_hash")
@@ -136,7 +135,7 @@ object TextOps {
       // two interpreted hash sets per pair — the dominant cost of
       // the whole pipeline at sf0.1)
       val toksH = toks.select(col("doc_id"),
-        expr("array_sort(transform(toks, t -> md5long60(t)))").as("toks"))
+        Portable.md5Sorted(col("toks")).as("toks"))
       // The whole signature matrix (16 min-hashes → 2 band sigs) is
       // ONE codegen'd pass per row ([[graft.functions.MinHashBands]]
       // — the HOF formulation interprets ~16×|toks| lambdas per doc):
@@ -255,19 +254,18 @@ object TextOps {
   val q43 = Q(
     "q43_ngram_jaccard",
     (s, dir) => {
-      graft.functions.Md5Long60.register(s)
-      // Shingles as hashes from the start: zip_with over two slices
-      // (positional element_at in a lambda re-evaluates the source
-      // array per element — measured 8× slower) and array_distinct
-      // over fixed-width longs instead of strings.
+      // Shingles as hashes from the start, via the one-pass
+      // [[graft.functions.BigramHashes]] kernel (the zip_with-over-
+      // two-slices HOF form it replaces was itself 8× faster than
+      // positional element_at in a lambda, which re-evaluates the
+      // source array per element) — distinct fixed-width longs, never
+      // materialising the bigram strings.
+      graft.functions.TextKernels.register(s)
       val ex = docs(s, dir)
         .select(col("doc_id"), blockKey.as("bk"),
           Portable.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
-        .withColumn("hs", expr(
-          """array_distinct(zip_with(
-            |  slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
-            |  (x, y) -> md5long60(concat(x, ' ', y))))""".stripMargin))
+        .withColumn("hs", expr("bigram_hashes(toks)"))
         .select(col("doc_id"), col("bk"),
           size(col("hs")).as("n"), explode(col("hs")).as("h"))
       jaccardPairs(ex, 0.4)
@@ -356,7 +354,7 @@ object TextOps {
       // join, no per-doc window (docs with zero overlap with every
       // profile drop out, matching the oracle's inner join)
       d.select(col("doc_id"), col("lang"), Portable.tokenSet(col("text")).as("ts"))
-        .withColumn("dtoks", expr("array_sort(transform(ts, t -> md5long60(t)))"))
+        .withColumn("dtoks", Portable.md5Sorted(col("ts")))
         .crossJoin(broadcast(profiles))
         .withColumn("score", expr("sorted_intersect_count(dtoks, ptoks)"))
         .filter(col("score") >= 1)
@@ -463,13 +461,18 @@ object TextOps {
   val q47 = Q(
     "q47_fingerprint_shingles",
     (s, dir) => {
+      // the whole per-doc aggregate (min hash + distinct-hash count
+      // over every 8-char window) is ONE per-row kernel call
+      // ([[graft.functions.ShingleFingerprint]]): the exploded form
+      // shuffles |corpus chars| rows through a groupBy for what a
+      // single text scan computes
+      graft.functions.TextKernels.register(s)
       docs(s, dir)
         .filter(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-        .withColumn("h", Portable.md5Long(expr("substring(text, i, 8)")))
-        .groupBy("doc_id")
-        .agg(min("h").as("fingerprint"), countDistinct(col("h")).as("n_shingles"))
+        .select(col("doc_id"), expr("shingle_fingerprint(text, 8)").as("fp"))
+        .select(col("doc_id"),
+          col("fp.fingerprint").as("fingerprint"),
+          col("fp.n_shingles").as("n_shingles"))
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id, min(h) AS fingerprint, count(DISTINCT h) AS n_shingles

@@ -115,6 +115,40 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("text kernels == the HOF formulations they replace") {
+    import graft.functions.{Md5Long60, TextKernels}
+    import org.apache.spark.unsafe.types.UTF8String
+    def md5(s: String): Long = Md5Long60.hash(UTF8String.fromString(s))
+    val toks: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "b", "a b", "δ", "漢", "x", "yy", ""))
+    samples(toks, n = 300).foreach { ts =>
+      val arr = new GenericArrayData(ts.map(UTF8String.fromString).toArray)
+      // md5_sorted == array_sort(transform(_, md5long60))
+      assert(TextKernels.md5Sorted(arr).toLongArray().toSeq ==
+        ts.map(md5).sorted)
+      // bigram_hashes == array_distinct(zip_with(slice, slice, md5(concat)))
+      val bigrams = ts.sliding(2).filter(_.size == 2).map(p => s"${p(0)} ${p(1)}").toList
+      assert(TextKernels.bigramHashes(arr).toLongArray().toSeq ==
+        bigrams.map(md5).distinct)
+      // distinct_bigram_count == size(array_distinct(zip_with(concat)))
+      assert(TextKernels.distinctBigramCount(arr) == bigrams.distinct.size)
+    }
+    // char shingles: windows are Spark-substring (UTF-8 char) based,
+    // so the reference walks the SAME substring primitive the
+    // replaced expression called
+    val text: Gen[String] = Gen.listOf(
+      Gen.oneOf("ab", "c", " ", "δ", "漢字", "0")).map(_.mkString)
+    samples(text, n = 300).foreach { s =>
+      val u = UTF8String.fromString(s)
+      val wins = (1 to u.numChars() - 7).map(i => md5(u.substringSQL(i, 8).toString))
+      assert(TextKernels.charShingleHashes(u, 8, distinct = true)
+        .toLongArray().toSeq == wins.distinct)
+      val fp = TextKernels.shingleFingerprint(u, 8)
+      if (wins.isEmpty) assert(fp.getLong(0) == -1L && fp.getLong(1) == 0L)
+      else assert(fp.getLong(0) == wins.min && fp.getLong(1) == wins.distinct.size)
+    }
+  }
+
   test("simhash32 kernel == the exploded bit-vote formulation") {
     import graft.functions.{Md5Long60, SimHash32}
     import org.apache.spark.unsafe.types.UTF8String
