@@ -37,4 +37,29 @@ object Skew {
       .groupBy(col(key))
       .agg(merge.head, merge.tail: _*)
   }
+
+  /** Salted equi-join for a skewed FACT side against a dimension too
+    * large (or a planner unable) to broadcast: each fact row takes a
+    * random-ish salt in [0, saltBuckets), the dimension is replicated
+    * once per salt value, and the join key becomes (key, salt) — so a
+    * hot key's rows spread over `saltBuckets` reducers instead of
+    * one. Shuffle volume grows by |dim| × saltBuckets, which is the
+    * explicit trade against the hot reducer; result equals the plain
+    * inner join row-for-row.
+    *
+    * Spark's AQE skew-join (OptimizeSkewedJoin) solves the same
+    * problem transparently for sort-merge joins and should be the
+    * first resort; this form covers what AQE cannot: shuffle-hash
+    * joins, skew known ahead of time (skip the lopsided first
+    * attempt), and engines/plans where AQE is off.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val fs = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
+    val ds = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    fs.join(ds, Seq(key, "__salt")).drop("__salt")
+  }
 }

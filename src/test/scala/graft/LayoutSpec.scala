@@ -1,0 +1,67 @@
+package graft
+
+import graft.layout.ZOrder
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: correctness (clustering is a pure reshuffle) and
+  * the property that makes it worth doing — a range predicate on a
+  * NON-leading dimension touches far fewer files than under a
+  * single-column sort, because each file's [min,max] on every
+  * interleaved column is narrow.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("morton code interleaves bits dimension-alternating") {
+    import graft.functions.InterleaveBits
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 2-D, 2 bits: (x=0b10, y=0b01) -> bits y1 x1 y0 x0 = 0b0110
+    assert(InterleaveBits.morton(new GenericArrayData(Array(2, 1)), 2) == 6L)
+    // identity in 1-D
+    (0 until 16).foreach { v =>
+      assert(InterleaveBits.morton(new GenericArrayData(Array(v)), 4) == v.toLong)
+    }
+    // monotone in each dimension when the other is fixed
+    val z = (x: Int, y: Int) =>
+      InterleaveBits.morton(new GenericArrayData(Array(x, y)), 8)
+    (0 until 255).foreach { v =>
+      assert(z(v, 7) < z(v + 1, 7) && z(7, v) < z(7, v + 1))
+    }
+  }
+
+  test("z-order clustering preserves content and shrinks per-file spans") {
+    val n = 40000
+    val files = 16
+    // two independent pseudo-uniform dimensions derived by integer
+    // mixing (deterministic; no Random in tests)
+    val df = spark.range(n.toLong).select(
+      (col("id") * 2654435761L % n).cast("long").as("x"),
+      (col("id") * 40503L % n).cast("long").as("y"))
+
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-layout-plain").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-layout-z").toString
+    // baseline: the best single-column layout (range-sorted by x)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(plainDir)
+    ZOrder.cluster(df, Seq("x", "y"), files)
+      .write.mode("overwrite").parquet(zDir)
+
+    // pure reshuffle: same multiset of rows
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == n)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+
+    // a 5% slice on y (the non-leading dimension for the baseline):
+    // under the x-sort every file intersects it; under z-order only
+    // files whose y-span crosses the slice do
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("y") >= n / 2 && col("y") < n / 2 + n / 20)
+        .select(input_file_name()).distinct().count()
+    val plainTouched = filesTouched(plainDir)
+    val zTouched = filesTouched(zDir)
+    assert(plainTouched == files.toLong,
+      s"x-sorted layout should spread a y-slice over all files, got $plainTouched")
+    assert(zTouched * 2 <= files,
+      s"z-order should confine a y-slice to <= half the files, got $zTouched")
+  }
+}

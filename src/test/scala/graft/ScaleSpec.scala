@@ -58,4 +58,18 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
+
+  test("salted join equals plain join and spreads each key over salts") {
+    val li = Tables.t(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.t(spark, sf(), "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val plain = li.join(ord, "l_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
 }
