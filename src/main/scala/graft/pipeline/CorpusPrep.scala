@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Dist, MinHashBands, Portable}
+import graft.graph.ConnectedComponents
+
+/** The end-to-end corpus-preparation pipeline a training-data run
+  * actually executes, composed from this engine's operators:
+  *
+  *   gate (token floor) → exact dedup (content hash, keep min id)
+  *   → near-dup dedup (MinHash-LSH buckets → connected components
+  *     → keep min id per cluster) → GPT-style sequence packing.
+  *
+  * Each stage is the same construction its standalone query proves
+  * against the DuckDB oracle (q44/q39/q100+q75/q101), and the whole
+  * composition is oracle-checked end-to-end by
+  * q107_corpus_prep_pack. Everything stays a lazy DataFrame; the
+  * only materialization is the (doc_id, b0, b1) signature table —
+  * three longs per doc, never the text — pinned before the
+  * component loop reuses it.
+  */
+object CorpusPrep {
+
+  /** Gate + exact dedup + near-dup cluster dedup. Returns the kept
+    * documents as (doc_id, text, nt) where nt is the whitespace
+    * token count.
+    */
+  def prepare(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    val gated = docs
+      .select(col("doc_id"), col("text"),
+        size(Portable.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") >= minTokens)
+    // exact dedup: one shuffle by content hash, min doc_id survives
+    val exact = gated
+      .withColumn("__th", Portable.md5Long(col("text")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__th").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__th", "__rn")
+    // near-dup: LSH band buckets (q41's signatures) → components →
+    // min doc_id per cluster. Only (doc_id, b0, b1) is checkpointed.
+    val sigs = exact
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(MinHashBands(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            Portable.tokenSet(col("text"))), 2, 8)).as("bs"))
+      .select(col("doc_id"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
+      .localCheckpoint(true)
+    val comp = ConnectedComponents.run(
+      sigs.select(col("b0").as("a"), col("b1").as("b")))
+    val keep = sigs.join(comp, sigs("b0") === comp("node"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("component").orderBy("doc_id")))
+      .filter(col("__rn") === 1)
+      .select("doc_id")
+    exact.join(keep, "doc_id")
+  }
+
+  /** Pack the prepared corpus into fixed-length training sequences:
+    * documents concatenate in deterministic hash order, cut every
+    * `seqLen` tokens (docs straddle cuts). One row per sequence with
+    * its doc count, token count, and first/last contributing doc.
+    * The global offset is [[Dist.globalCumsum]] — hash-range
+    * bucketing, never a single-partition window.
+    */
+  def pack(prepared: DataFrame, seqLen: Int = 512): DataFrame = {
+    val spark = prepared.sparkSession
+    val sized = prepared
+      .select(col("doc_id"), col("nt"))
+      .filter(col("nt") >= 1)
+      .withColumn("hk",
+        Portable.md5Long(concat(lit("pack:"), col("doc_id").cast("string"))))
+    Dist.globalCumsum(sized, "hk", Seq("doc_id"), "nt", "cum",
+      spark.sparkContext.defaultParallelism)
+      .withColumn("st", col("cum") - col("nt"))
+      .withColumn("en", col("cum") - 1)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"st div $seqLen"), expr(s"en div $seqLen"))))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("en"), col("seq_id") * seqLen + (seqLen - 1)) -
+          greatest(col("st"), col("seq_id") * seqLen) + 1).cast("long").as("n_tokens"),
+        min_by(col("doc_id"), col("st")).as("first_doc"),
+        max_by(col("doc_id"), col("en")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+}

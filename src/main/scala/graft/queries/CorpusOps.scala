@@ -342,5 +342,74 @@ object CorpusOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin))
 
-  val all: Vector[Q] = Vector(q100, q101, q102, q103, q104, q105)
+  /** The END-TO-END corpus-prep pipeline ([[graft.pipeline.CorpusPrep]]):
+    * token-floor gate → exact dedup (content hash, min id kept) →
+    * MinHash-LSH + connected-components near-dup dedup (min id per
+    * cluster kept) → GPT-style 512-token sequence packing. Every
+    * stage is a construction proven by its standalone query
+    * (q44/q39/q100/q101); this one oracle-checks their COMPOSITION —
+    * the result a user of the reference would actually ship to
+    * training.
+    */
+  val q107 = Q(
+    "q107_corpus_prep_pack",
+    (s, dir) => graft.pipeline.CorpusPrep.pack(
+      graft.pipeline.CorpusPrep.prepare(docs(s, dir), minTokens = 5), seqLen = 512),
+    Some(s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS nt
+      |  FROM documents),
+      |g AS (SELECT * FROM t WHERE nt >= 5),
+      |exd AS (
+      |  SELECT doc_id, nt, text FROM (
+      |    SELECT doc_id, nt, text,
+      |      row_number() OVER (PARTITION BY ${Portable.md5LongSql("text")}
+      |        ORDER BY doc_id) AS rn
+      |    FROM g) WHERE rn = 1),
+      |toks AS (SELECT doc_id, ${Portable.tokenSetSql("text")} AS toks FROM exd),
+      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+      |mh AS (
+      |  SELECT doc_id, seed, min(${Portable.md5LongSql("concat(seed, ':', tok)")}) AS minh
+      |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      |  GROUP BY 1, 2),
+      |db AS (
+      |  SELECT doc_id,
+      |    min(CASE WHEN band = 0 THEN bucket END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bucket END) AS b1
+      |  FROM (
+      |    SELECT doc_id, seed // 8 AS band,
+      |      ${Portable.md5LongSql("concat(seed // 8, '|', string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)))")} AS bucket
+      |    FROM mh GROUP BY doc_id, seed // 8)
+      |  GROUP BY doc_id),
+      |edges AS (SELECT b0 AS a, b1 AS b FROM db UNION SELECT b1, b0 FROM db),
+      |nodes AS (SELECT DISTINCT b0 AS node FROM db UNION SELECT DISTINCT b1 FROM db),
+      |reach AS (
+      |  SELECT node, node AS lab FROM nodes
+      |  UNION
+      |  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      |comp AS (SELECT node, min(lab) AS cl FROM reach GROUP BY node),
+      |keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT db.doc_id,
+      |      row_number() OVER (PARTITION BY c.cl ORDER BY db.doc_id) AS rn
+      |    FROM db JOIN comp c ON db.b0 = c.node) WHERE rn = 1),
+      |o AS (
+      |  SELECT e.doc_id, e.nt,
+      |    ${Portable.md5LongSql("concat('pack:', CAST(e.doc_id AS VARCHAR))")} AS hk
+      |  FROM exd e JOIN keep k ON e.doc_id = k.doc_id),
+      |c2 AS (
+      |  SELECT doc_id, nt,
+      |    CAST(sum(nt) OVER (ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM o),
+      |spans AS (SELECT doc_id, cum - nt AS st, cum - 1 AS en FROM c2),
+      |ex2 AS (
+      |  SELECT doc_id, st, en, unnest(range(st // 512, en // 512 + 1)) AS seq
+      |  FROM spans)
+      |SELECT CAST(seq AS BIGINT) AS seq_id, count(*) AS n_docs,
+      |  CAST(sum(least(en, seq * 512 + 511) - greatest(st, seq * 512) + 1) AS BIGINT) AS n_tokens,
+      |  arg_min(doc_id, st) AS first_doc, arg_max(doc_id, en) AS last_doc
+      |FROM ex2 GROUP BY 1 ORDER BY seq_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q100, q101, q102, q103, q104, q105, q107)
 }
