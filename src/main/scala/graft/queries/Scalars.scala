@@ -248,5 +248,63 @@ object Scalars {
       |FROM events
       |ORDER BY event_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q28, q29, q30, q31, q32, q33, q96, q97)
+  /** The §2.8 named functions no other query exercises: initcap,
+    * format_string, locate, rpad, months_between, bround (half-even),
+    * log2, from_unixtime. months_between runs on month-truncated
+    * dates (integer-valued, so the oracle's calendar month diff is
+    * exact); bround runs on exact binary quarters (key/4) because the
+    * engines disagree on non-representable halves — Spark half-evens
+    * the shortest decimal string, DuckDB the binary value.
+    */
+  val q108 = Q(
+    "q108_scalar_gapfill",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          initcap(lower(concat(col("o_orderpriority"), lit(" priority order"))))
+            .as("pri_cap"),
+          format_string("%s/%09.2f", col("o_orderstatus"), col("o_totalprice"))
+            .as("status_price"),
+          locate("U", col("o_orderpriority")).as("u_pos"),
+          rpad(col("o_orderstatus"), 5, ".").as("status_pad"),
+          months_between(trunc(col("o_orderdate"), "MM"),
+            lit("1995-01-01").cast("date")).cast("int").as("months_since"),
+          bround(col("o_orderkey") / 4, 1).as("key_bround"),
+          round(log2(col("o_orderkey") + 1), 6).as("key_log2"),
+          from_unixtime(unix_timestamp(col("o_orderdate"))).as("od_str"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      |  array_to_string(list_transform(
+      |    string_split(lower(o_orderpriority || ' priority order'), ' '),
+      |    w -> upper(w[1]) || w[2:]), ' ') AS pri_cap,
+      |  printf('%s/%09.2f', o_orderstatus, o_totalprice) AS status_price,
+      |  CAST(strpos(o_orderpriority, 'U') AS INTEGER) AS u_pos,
+      |  rpad(o_orderstatus, 5, '.') AS status_pad,
+      |  CAST(date_diff('month', DATE '1995-01-01',
+      |    date_trunc('month', o_orderdate)) AS INTEGER) AS months_since,
+      |  round_even(o_orderkey / 4.0, 1) AS key_bround,
+      |  round(log2(o_orderkey + 1), 6) AS key_log2,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin))
+
+  /** Hive's json_tuple UDTF (one parse, many fields) — the generator
+    * form of q32's get_json_object.
+    */
+  val q109 = Q(
+    "q109_json_tuple",
+    (s, dir) => {
+      Tables.events(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select(col("event_id"), json_tuple(col("props"), "k"))
+        .toDF("event_id", "kstr")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, json_extract_string(props, '$.k') AS kstr
+      |FROM events
+      |ORDER BY event_id""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q28, q29, q30, q31, q32, q33, q96, q97, q108, q109)
 }
