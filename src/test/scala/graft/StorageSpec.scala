@@ -38,6 +38,30 @@ class StorageSpec extends SparkSpec {
     assert(Files.list(Paths.get(s"$dir/orders_p")).iterator().hasNext)
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // the 100 TB pattern: a fact partitioned on a key joined to a
+    // filtered dimension — the partitions to read are only known
+    // AFTER the dim filter runs, so Spark injects a runtime
+    // DynamicPruning subquery into the fact scan instead of reading
+    // every partition
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.t(spark, sf(), "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(s"$dir/orders_p")
+    val fact = spark.read.parquet(s"$dir/orders_p")
+    val dim = spark.range(1992, 1999).select(
+      col("id").cast("int").as("dyr"),
+      when(col("id") === 1996, "pick").otherwise("skip").as("tag"))
+    val joined = fact.join(broadcast(dim),
+        fact("yr") === dim("dyr") && dim("tag") === "pick")
+      .groupBy("yr").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan should carry a DynamicPruning subquery:\n${plan.take(2000)}")
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 1996)
+  }
+
   test("upload layout normalization nests root-level files") {
     val dir = Files.createTempDirectory("graft-upl")
     val f = dir.resolve("table42.csv")
