@@ -32,7 +32,11 @@ object ZOrder {
     */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 0): Column = {
     require(cols.nonEmpty, "zValue needs at least one column")
-    val b = if (bits > 0) bits else 63 / cols.size
+    // default precision: 16 bits/dim is ~65k buckets — far finer than
+    // any file count — while staying well inside Int bucket math
+    // (buckets are Int columns, so bits must stay <= 30)
+    val b = if (bits > 0) bits else math.min(16, 63 / cols.size)
+    require(b <= 30, s"$b bits per dimension exceeds Int bucket math")
     require(cols.size * b <= 63, s"${cols.size} dims x $b bits exceeds a long")
     // one stats pass; the result is 2k doubles, never row data
     val aggs = cols.flatMap(c =>
@@ -40,8 +44,10 @@ object ZOrder {
     val stats = df.agg(aggs.head, aggs.tail: _*).head
     val m = 1 << b
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getDouble(2 * i)
-      val mx = stats.getDouble(2 * i + 1)
+      // empty input / all-null column: degenerate to bucket 0 rather
+      // than NPE (min/max aggregate to null)
+      val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val mx = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
       least(lit(m - 1), greatest(lit(0),
         floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(m)).cast("int")))

@@ -28,6 +28,10 @@ object CorpusPrep {
     * token count.
     */
   def prepare(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    // the LSH stage needs >= 1 token per doc (q100's guard): a
+    // token-free doc would hash to the constant empty-signature
+    // buckets and merge every such doc into one bogus cluster
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     val gated = docs
       .select(col("doc_id"), col("text"),
         size(Portable.tokens(col("text"))).cast("long").as("nt"))

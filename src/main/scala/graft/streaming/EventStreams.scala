@@ -186,9 +186,13 @@ object EventStreams {
   private def runToCompletion(
       agg: DataFrame, mode: String, queryName: String): DataFrame = {
     val spark = agg.sparkSession
-    val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    val q =
+    // start() clones the session (StreamExecution constructor), so the
+    // conf only needs to hold across the start call; synchronize the
+    // swap-and-restore so concurrent callers on one session can't
+    // capture each other's temporary value as the "batch" setting
+    val q = spark.synchronized {
+      val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       try {
         agg.writeStream
           .outputMode(mode)
@@ -196,6 +200,7 @@ object EventStreams {
           .queryName(queryName)
           .start() // plan (and state partitioning) resolves here
       } finally spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
+    }
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)

@@ -57,6 +57,12 @@ class LayoutSpec extends SparkSpec {
       spark.read.parquet(dir)
         .filter(col("y") >= n / 2 && col("y") < n / 2 + n / 20)
         .select(input_file_name()).distinct().count()
+    // guard against a degenerate layout (e.g. a collapsed z-value
+    // putting everything in one file) passing the skip test vacuously
+    def filesTotal(dir: String): Long =
+      spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    assert(filesTotal(zDir) == files.toLong,
+      s"z layout must actually spread over $files files, got ${filesTotal(zDir)}")
     val plainTouched = filesTouched(plainDir)
     val zTouched = filesTouched(zDir)
     assert(plainTouched == files.toLong,
