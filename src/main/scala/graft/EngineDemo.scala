@@ -79,6 +79,25 @@ object EngineDemo {
     salted.orderBy("l_returnflag").collect()
       .foreach(r => println(s"[demo] salted qty ${r.get(0)} = ${r.get(1)}"))
 
+    // 9. the corpus-prep pipeline a training run ships: gate →
+    //    exact dedup → LSH+connected-components dedup → packing
+    val docs = Tables.docs(spark, "/root/testdata/sf0.001")
+    val kept = graft.pipeline.CorpusPrep.prepare(docs, minTokens = 5)
+    val packed = graft.pipeline.CorpusPrep.pack(kept, seqLen = 512)
+    println(s"[demo] corpus prep: ${docs.count()} docs -> ${kept.count()} kept " +
+      s"-> ${packed.count()} training sequences")
+
+    // 10. z-order layout: re-cluster a table so range predicates on
+    //     either column map to few files
+    val zdir = dir.resolve("orders_z").toString
+    graft.layout.ZOrder.cluster(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      Seq("o_custkey", "o_totalprice"), numFiles = 4)
+      .write.mode("overwrite").parquet(zdir)
+    println(s"[demo] z-ordered orders into ${spark.read.parquet(zdir)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()} files")
+
     wh.drop("sales_ext")
     println(s"[demo] dropped; csv still present=${
       Files.exists(java.nio.file.Paths.get(loc, "sales.csv"))}")
