@@ -46,10 +46,16 @@ object ConnectedComponents {
       .union(edges.select(col("b").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // hash-partition the (loop-invariant) edge table on the join key
+    // BEFORE pinning it: localCheckpoint preserves the partitioning,
+    // so every round's propagate join shuffles only the label side —
+    // at scale the edge table is the big side, and this removes its
+    // per-round exchange entirely
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
       .distinct()
+      .repartition(col("b"))
       .localCheckpoint(true)
     var lbl = nodes.withColumn("lab", col("node")).localCheckpoint(true)
     // labels only ever decrease, so sum(labels) strictly decreases
