@@ -66,4 +66,21 @@ class CsvIngestSpec extends SparkSpec {
     assert(r.schema.fieldNames.toSeq == Seq("_c0", "_c1"))
     assert(r.rowCount == 2)
   }
+
+  test("gzipped uploads ingest transparently (sniff + infer + read)") {
+    // warehouse uploads commonly arrive compressed; the Hadoop codec
+    // layer decodes .gz on every read path (sniff sample, inference
+    // sample, full scan) with no CsvIngest special-casing
+    val dir = Files.createTempDirectory("graft-gz")
+    val f = dir.resolve("sales.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("id;amt\n1;2.5\n2;3.5\n3;4.0\n".getBytes("UTF-8"))
+    out.close()
+    assert(CsvIngest.sniffDelimiter(spark, f.toString) == ";")
+    val r = CsvIngest.ingest(spark, f.toString, "gz_sales", header = true)
+    assert(r.rowCount == 3)
+    assert(r.schema("amt").dataType == DoubleType)
+    assert(spark.table(r.table).agg(org.apache.spark.sql.functions.sum("amt"))
+      .head.getDouble(0) == 10.0)
+  }
 }
