@@ -35,5 +35,7 @@ object Q {
       queries.StreamingOps.all ++
       queries.Extended.all ++
       queries.PipelineOps.all ++
-      queries.CorpusOps.all
+      queries.CorpusOps.all ++
+      queries.Relational4.all ++
+      queries.CorpusOps2.all
 }

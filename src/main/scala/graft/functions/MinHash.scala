@@ -107,7 +107,10 @@ object MinHashBands {
     new GenericArrayData(out)
   }
 
-  /** ASCII bytes of "<seed>:" (seed counts are tiny; cache them). */
+  /** ASCII bytes of "<seed>:" (seed counts are tiny; cache them).
+    * Shared with [[MinHashSig]] so both kernels hash identically.
+    */
+  private[functions] def seedPrefixBytes(sd: Int): Array[Byte] = seedPrefix(sd)
   private val seedPrefixes = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
   private def seedPrefix(sd: Int): Array[Byte] =
     seedPrefixes.computeIfAbsent(sd,
@@ -123,6 +126,73 @@ object MinHashBands {
         exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
+}
+
+/** Codegen'd raw MinHash signature: the `seeds` seeded min-hashes as
+  * an `array<long>` (no banding) — the form sketch-accuracy audits
+  * need, where two signatures are compared position by position to
+  * estimate Jaccard (matches/seeds). Same seeded hash as
+  * [[MinHashBands]] (`md5long60("seed:tok")`), so the DuckDB oracle's
+  * `min(...) GROUP BY seed` CTE reproduces it exactly. Empty (or
+  * all-null) arrays yield Long.MaxValue minima — callers filter empty
+  * token sets, mirroring the oracle where `min` over no rows is NULL.
+  */
+case class MinHashSig(child: Expression, seeds: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got ${t.sql}")
+  }
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c, $seeds)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  /** All `seeds` seeded minima in one pass over the token array. */
+  def sig(toks: ArrayData, seeds: Int): ArrayData = {
+    val mins = new Array[Long](seeds)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val tok = toks.getUTF8String(i).getBytes
+        var sd = 0
+        while (sd < seeds) {
+          val pre = MinHashBands.seedPrefixBytes(sd)
+          val buf = new Array[Byte](pre.length + tok.length)
+          System.arraycopy(pre, 0, buf, 0, pre.length)
+          System.arraycopy(tok, 0, buf, pre.length, tok.length)
+          val h = Md5Long60.hashBytes(buf)
+          if (h < mins(sd)) mins(sd) = h
+          sd += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Register as `minhash_sig(toks, 16)`; seed count must be an
+    * integer literal. Idempotent per session.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Int]),
       "scala_udf")
 }
 

@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("token_set_ws", classOf[TokenizeWs])(x => TokenizeWs(x.head, distinct = true))
     inject("minhash_bands", classOf[MinHashBands])(x =>
       MinHashBands(x.head, intLit(x(1)), intLit(x(2))))
+    inject("minhash_sig", classOf[MinHashSig])(x =>
+      MinHashSig(x.head, intLit(x(1))))
     inject("simhash32", classOf[SimHash32])(x => SimHash32(x.head))
     inject("md5_sorted", classOf[Md5Sorted])(x => Md5Sorted(x.head))
     inject("bigram_hashes", classOf[BigramHashes])(x => BigramHashes(x.head))

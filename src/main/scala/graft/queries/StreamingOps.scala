@@ -51,5 +51,22 @@ object StreamingOps {
       |GROUP BY 1, 2
       |ORDER BY wstart, segment""".stripMargin))
 
-  val all: Vector[Q] = Vector(q56, q80, q91)
+  /** Stream-stream interval join (T6): purchases ⋈ errors within 30
+    * minutes per user, both sides watermarked so join state is
+    * evictable. The oracle is the equivalent batch range self-join —
+    * the unified-model guarantee again.
+    */
+  val q124 = Q(
+    "q124_stream_stream_join",
+    (s, dir) =>
+      EventStreams.purchaseErrorJoin(s, dir, "q124_sink")
+        .orderBy("p_id", "e_id"),
+    Some("""SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+      |FROM events p JOIN events e
+      |  ON p.event_type = 'purchase' AND e.event_type = 'error'
+      | AND e.user_id = p.user_id
+      | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
+      |ORDER BY p_id, e_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q56, q80, q91, q124)
 }

@@ -104,6 +104,33 @@ object EventStreams {
     runToCompletion(deduped, "append", queryName)
   }
 
+  /** T6 stream-stream interval join: purchases join errors from a
+    * SECOND stream on user within a 30-minute window. Both sides
+    * carry watermarks, and the join condition bounds event time on
+    * both sides, so Spark can size the join state and evict rows the
+    * watermark has passed — the only shape a stream-stream join can
+    * run with bounded state on an infinite stream. Inner join in
+    * append mode emits every match exactly once.
+    */
+  def purchaseErrorJoin(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = readEvents(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purchases.join(errors,
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 30 MINUTES"))
+    runToCompletion(
+      joined.select(col("p_id"), col("e_id"), col("p_user").as("user_id")),
+      "append", queryName)
+  }
+
   /** Event for the custom-state sessionizer. `ts` carries the
     * watermarked event-time column (the stateful operator requires it
     * to stay in the plan); `us` is its micros-since-epoch form the

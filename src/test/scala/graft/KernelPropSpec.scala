@@ -92,6 +92,24 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sig kernel == per-seed min over md5long60(seed:tok)") {
+    import graft.functions.{Md5Long60, MinHashSig}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "δ-unicode", "42", ""))
+    def reference(toks: List[String], seeds: Int): Array[Long] =
+      (0 until seeds).map { sd =>
+        if (toks.isEmpty) Long.MaxValue
+        else toks.map(t => Md5Long60.hash(UTF8String.fromString(s"$sd:$t"))).min
+      }.toArray
+    samples(tokens, n = 200).foreach { toks =>
+      val got = MinHashSig.sig(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray), 16)
+        .toLongArray()
+      assert(got.sameElements(reference(toks, 16)), s"toks=$toks")
+    }
+  }
+
   test("tokenize_ws kernel == split('\\s+') + length filter [+ distinct]") {
     import graft.functions.TokenizeWs
     import org.apache.spark.unsafe.types.UTF8String
