@@ -190,5 +190,33 @@ object Relational4 {
       |WHERE sd > 0 AND abs((value - mu) / sd) > 2.5
       |ORDER BY event_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q110, q111, q112, q113, q114)
+  /** Join-key skew report: the per-key row-count distribution of the
+    * fact table's join key — key cardinality, max/avg rows per key,
+    * p99, and the max/avg skew factor. This is the diagnosis that
+    * decides between a plain shuffle join, AQE's skew split, and
+    * `Skew.saltedJoin` BEFORE launching a 100 TB join; it runs as one
+    * aggregate over one aggregate (key profile is never collected).
+    */
+  val q125 = Q(
+    "q125_join_skew_report",
+    (s, dir) => {
+      Tables.t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          max("n").as("max_rows"),
+          round(avg("n"), 6).as("avg_rows"),
+          round(expr("percentile(n, 0.99)"), 4).as("p99_rows"),
+          round(max("n") / avg("n"), 4).as("skew_factor"))
+    },
+    Some("""WITH c AS (
+      |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_keys,
+      |  CAST(max(n) AS BIGINT) AS max_rows,
+      |  round(avg(n), 6) AS avg_rows,
+      |  round(quantile_cont(n, 0.99), 4) AS p99_rows,
+      |  round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_factor
+      |FROM c""".stripMargin))
+
+  val all: Vector[Q] = Vector(q110, q111, q112, q113, q114, q125)
 }
