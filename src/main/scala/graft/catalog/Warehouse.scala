@@ -88,6 +88,26 @@ final class Warehouse(spark: SparkSession) {
   def refresh(name: String): Unit =
     spark.sql(s"REFRESH TABLE ${q(name)}")
 
+  /** Hive `ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]`
+    * — the (D)-surface DDL that feeds the cost-based optimizer. At
+    * warehouse scale this is what turns join-order and broadcast
+    * decisions from byte-size guesses into row/NDV-informed plans;
+    * run it after large loads the way the reference runs MSCK after
+    * ingest. Returns the recorded (sizeInBytes, rowCount).
+    */
+  def analyze(name: String, columns: Boolean = true): (BigInt, Option[BigInt]) = {
+    spark.sql(s"ANALYZE TABLE ${q(name)} COMPUTE STATISTICS" +
+      (if (columns) " FOR ALL COLUMNS" else ""))
+    // read what the metastore recorded (plan-level stats only expose
+    // rowCount when spark.sql.cbo.enabled is on; the catalog entry is
+    // the source of truth either way)
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .stats
+      .getOrElse(throw new IllegalStateException(s"no stats recorded for $name"))
+    (stats.sizeInBytes, stats.rowCount)
+  }
+
   /** Health probe: SELECT 1 (app.py:125,134; hive_manager.py:152). */
   def healthy(): Boolean =
     spark.sql("SELECT 1").collect().headOption.exists(_.getInt(0) == 1)

@@ -104,6 +104,41 @@ object EventStreams {
     runToCompletion(deduped, "append", queryName)
   }
 
+  /** foreachBatch sink — the production pattern for sinks Spark has
+    * no native connector for (JDBC upserts, external indexes, multi-
+    * table fan-out): each micro-batch arrives as a full batch
+    * DataFrame with a monotonic batch id for idempotent writes. Here
+    * each batch overwrites a parquet snapshot of the running tumbling
+    * aggregate (complete mode), so the final snapshot equals the
+    * batch answer — asserted by StreamingSpec.
+    */
+  def tumblingCountsToParquet(
+      spark: SparkSession, dir: String, outPath: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = spark.synchronized {
+      val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      try {
+        agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(outPath)
+          }
+          .queryName(queryName)
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outPath)
+  }
+
   /** T6 stream-stream interval join: purchases join errors from a
     * SECOND stream on user within a 30-minute window. Both sides
     * carry watermarks, and the join condition bounds event time on

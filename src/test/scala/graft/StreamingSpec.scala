@@ -32,6 +32,14 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(b).isEmpty)
   }
 
+  test("foreachBatch parquet sink snapshot equals the batch result") {
+    val out = java.nio.file.Files.createTempDirectory("graft-feb").toString + "/snap"
+    val snap = EventStreams.tumblingCountsToParquet(spark, sf(), out, "spec_feb")
+    val b = batch("q34_tumbling_window")
+    assert(snap.count() == b.count())
+    assert(snap.exceptAll(b.select("wstart", "event_type", "n", "sum_value")).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one event per key in-window") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.dedupFirstPerUserType(spark, sf(), "spec_dedup")

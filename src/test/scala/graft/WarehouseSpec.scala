@@ -53,6 +53,26 @@ class WarehouseSpec extends SparkSpec {
     assert(!wh.exists("mng_t"))
   }
 
+  test("ANALYZE TABLE records row count and column stats for the CBO") {
+    import spark.implicits._
+    wh.drop("stats_t")
+    // a crashed prior JVM can leave the managed location behind while
+    // the (in-memory) catalog forgot the table — clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/stats_t")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    wh.createManaged("stats_t", (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    val (size, rows) = wh.analyze("stats_t")
+    assert(size > 0)
+    assert(rows.contains(BigInt(500)))
+    // column-level NDV reached the catalog (what CBO join planning reads)
+    val kStats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("stats_t"))
+      .stats.flatMap(_.colStats.get("k"))
+    assert(kStats.flatMap(_.distinctCount).exists(_ >= BigInt(400)))
+    wh.drop("stats_t")
+  }
+
   test("managed table from a raw name is sanitized like the reference") {
     import spark.implicits._
     wh.drop("mng_dash")
