@@ -117,4 +117,33 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"),
       s"tiny bench-shingle side must broadcast:\n${s.take(2000)}")
   }
+
+  test("q110: every dimension of the snowflake joins as a broadcast, part filter pushed") {
+    val df = q("q110_profit_by_nation_year")
+    df.collect()
+    val s = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      s"part/supplier/nation must broadcast:\n${s.take(2000)}")
+    val scan = q("q110_profit_by_nation_year").queryExecution.executedPlan.toString
+    assert(scan.contains("LessThanOrEqual(p_size,25)"),
+      "part filter must reach the parquet scan")
+  }
+
+  test("q113: bloom prescreen filters the fact scan BEFORE the semi join") {
+    val s = q("q113_bloom_join_prescreen").queryExecution.executedPlan.toString
+    // the UDF filter must sit under the join, directly over the
+    // lineitem scan — that is the entire point of the prescreen
+    val joinIdx = s.indexOf("LeftSemi")
+    assert(joinIdx >= 0, s"expected a semi join:\n${s.take(2000)}")
+    assert(s.indexOf("UDF(", joinIdx) > joinIdx,
+      s"bloom UDF filter must appear below the semi join:\n${s.take(2000)}")
+  }
+
+  test("q116: kNN candidate pass broadcasts the query set (no candidate shuffle)") {
+    val df = q("q116_knn_classify")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${s.take(2000)}")
+  }
 }
