@@ -57,6 +57,24 @@ case class BigramHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** `zip_with(slice(toks, 1, n-1), slice(toks, 2, n-1),
+  * (a, b) -> concat(a, ' ', b))` as one codegen'd pass — the
+  * NON-distinct bigram occurrence list (q117's LM scorer explodes
+  * it; the HOF form costs two interpreted slices plus a boxed lambda
+  * per element and splits the codegen span).
+  */
+case class BigramStrings(child: Expression)
+    extends UnaryExpression with ArrayStringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigram_strings"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bigramStrings(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bigramStrings($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramStrings =
+    copy(child = newChild)
+}
+
 /** `size(array_distinct(zip_with(..., (x, y) -> concat(x, ' ', y))))`
   * as one pass that never materialises the bigram array — q102's
   * dup-bigram denominator. Distinctness is over the STRINGS (not
@@ -157,6 +175,18 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  def bigramStrings(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[AnyRef](math.max(n - 1, 0))
+    var i = 1
+    while (i < n) {
+      out(i - 1) = UTF8String.fromBytes(
+        joinBytes(toks.getUTF8String(i - 1), toks.getUTF8String(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def distinctBigramCount(toks: ArrayData): Int = {
     val n = toks.numElements()
     val seen = new java.util.HashSet[UTF8String]()
@@ -242,6 +272,8 @@ object TextKernels {
       exprs => Md5Sorted(exprs.head), "scala_udf")
     r.createOrReplaceTempFunction("bigram_hashes",
       exprs => BigramHashes(exprs.head), "scala_udf")
+    r.createOrReplaceTempFunction("bigram_strings",
+      exprs => BigramStrings(exprs.head), "scala_udf")
     r.createOrReplaceTempFunction("distinct_bigram_count",
       exprs => DistinctBigramCount(exprs.head), "scala_udf")
     r.createOrReplaceTempFunction("char_shingle_hashes",

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash32", classOf[SimHash32])(x => SimHash32(x.head))
     inject("md5_sorted", classOf[Md5Sorted])(x => Md5Sorted(x.head))
     inject("bigram_hashes", classOf[BigramHashes])(x => BigramHashes(x.head))
+    inject("bigram_strings", classOf[BigramStrings])(x => BigramStrings(x.head))
     inject("distinct_bigram_count", classOf[DistinctBigramCount])(x =>
       DistinctBigramCount(x.head))
     inject("char_shingle_hashes", classOf[CharShingleHashes])(x =>

@@ -116,12 +116,13 @@ object CorpusOps2 {
   val q117 = Q(
     "q117_bigram_lm_score",
     (s, dir) => {
+      graft.functions.TextKernels.register(s)
       val ts = docs(s, dir)
         .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
-      val bg = ts.select(col("doc_id"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-          " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      // one codegen'd pass per row ([[graft.functions.BigramStrings]])
+      // instead of two interpreted slices + a boxed lambda per bigram
+      val bg = ts.select(col("doc_id"), explode(expr("bigram_strings(toks)")).as("bg"))
       val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
       val c1 = ts.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c1"))

@@ -150,6 +150,10 @@ class KernelPropSpec extends AnyFunSuite {
         bigrams.map(md5).distinct)
       // distinct_bigram_count == size(array_distinct(zip_with(concat)))
       assert(TextKernels.distinctBigramCount(arr) == bigrams.distinct.size)
+      // bigram_strings == zip_with(slice, slice, concat) — NON-distinct
+      val gotBg = TextKernels.bigramStrings(arr)
+      assert((0 until gotBg.numElements())
+        .map(i => gotBg.getUTF8String(i).toString) == bigrams)
     }
     // char shingles: windows are Spark-substring (UTF-8 char) based,
     // so the reference walks the SAME substring primitive the
