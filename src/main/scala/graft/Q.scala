@@ -37,5 +37,7 @@ object Q {
       queries.PipelineOps.all ++
       queries.CorpusOps.all ++
       queries.Relational4.all ++
-      queries.CorpusOps2.all
+      queries.CorpusOps2.all ++
+      queries.SearchOps.all ++
+      queries.Relational5.all
 }

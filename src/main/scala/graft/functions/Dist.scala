@@ -65,6 +65,59 @@ object Dist {
       .drop("__bkt", "__bkt2", "__off")
   }
 
+  /** Global cumulative sums of one or more LONG count columns over an
+    * arbitrary total order, without a single-partition window.
+    *
+    * Same range-bucketing recipe as [[globalRank]]: `repartitionByRange`
+    * on the order columns (sampled boundaries pinned by an eager
+    * localCheckpoint so the totals job and the windowed pass see the
+    * same draw), per-bucket column totals → exclusive prefix offsets
+    * (one #buckets-row driver round-trip), then a within-bucket running
+    * sum plus the bucket offset. Each value column `v` gains an
+    * inclusive-cumsum output column `v_cum`.
+    *
+    * `order` should be unique per row (pre-aggregate to distinct keys
+    * first): equal keys land in one bucket so boundary sums are exact,
+    * but the running sum among tied rows follows an arbitrary order.
+    */
+  def globalCumsumBy(
+      df: DataFrame,
+      order: Seq[Column],
+      values: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && values.nonEmpty)
+    val ranged = df.repartitionByRange(buckets, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggs = values.map(v => sum(col(v)).as(v))
+    val perBucket = ranged.groupBy("__pid")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i => r.getLong(i + 1)).toIndexedSeq)
+      .sortBy(_._1)
+    val prefixes = perBucket.map(_._2)
+      .scanLeft(IndexedSeq.fill(values.size)(0L)) { (acc, cur) =>
+        acc.zip(cur).map { case (a, b) => a + b }
+      }
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid2",
+        org.apache.spark.sql.types.IntegerType) +:
+        values.map(v => org.apache.spark.sql.types.StructField(
+          s"__off_$v", org.apache.spark.sql.types.LongType)))
+    val offRows = perBucket.map(_._1).zip(prefixes).map { case (pid, offs) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: offs)
+    }
+    val offDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), schema))
+    val w = Window.partitionBy("__pid")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.foldLeft(ranged.join(offDf, col("__pid") === col("__pid2"))) {
+      (d, v) => d.withColumn(s"${v}_cum", col(s"__off_$v") + sum(col(v)).over(w))
+    }.drop("__pid" +: "__pid2" +: values.map(v => s"__off_$v"): _*)
+  }
+
   /** Global ORDER BY rank (dense total order, ties broken by the
     * order columns themselves) without a single-partition window.
     *

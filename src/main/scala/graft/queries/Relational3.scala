@@ -129,29 +129,31 @@ object Relational3 {
 
   /** TPC-H Q21-shaped "waiting suppliers": suppliers with a SLOW line
     * (shipped >90 days after order date) on a multi-supplier order
-    * where NO other supplier was slow — one semi-join plus one
-    * anti-join against the same line set, the decorrelated form of
-    * EXISTS / NOT EXISTS. The supplier dimension broadcasts.
+    * where NO other supplier was slow. The EXISTS / NOT EXISTS pair
+    * (the oracle's form) is algebraized into per-order counts instead
+    * of self-joins: a qualifying pair is a slow supplier on an order
+    * with ≥2 distinct suppliers and exactly 1 distinct SLOW supplier.
+    * One (orderkey, suppkey) aggregate + one orderkey-partitioned
+    * window replaces the distinct + semi-join + anti-join fan —
+    * 2 shuffles instead of 4+ and no 600k×600k join sides, the shape
+    * that survives a 100× fact scale-up. Supplier dim broadcasts.
     */
   val q86 = Q(
     "q86_waiting_suppliers",
     (s, dir) => {
-      val l = Tables.t(s, dir, "lineitem")
+      val per = Tables.t(s, dir, "lineitem")
         .join(Tables.t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90))
             .as("slow"))
-      val lines = l.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      val slow = l.filter(col("slow"))
-        .select("l_orderkey", "l_suppkey").distinct()
-      slow
-        .join(lines,
-          col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
-          "left_semi")
-        .join(slow.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
-          col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
-          "left_anti")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("slow")).as("slow"))
+      val w = Window.partitionBy("l_orderkey")
+      per
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nslow", sum(when(col("slow"), 1).otherwise(0)).over(w))
+        .filter(col("slow") && col("nsupp") >= 2 && col("nslow") === 1)
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(Tables.t(s, dir, "supplier")),

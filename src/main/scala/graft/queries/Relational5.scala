@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Dist
+import org.apache.spark.sql.functions._
+
+/** Round-3 relational wave: two-sample distribution drift (KS
+  * statistic over range-bucketed global CDFs), NOT IN null-semantics
+  * (the null-aware anti join), the HiveQL text surface (CTE + window +
+  * multi-join issued as SQL text, the way the reference's users
+  * actually query — PyHive sends SQL strings,
+  * `backend/hive_manager.py:24-29`), and a bin-bucketed interval join
+  * that turns an O(n·m) theta join into an equi-join.
+  */
+object Relational5 {
+
+  /** Two-sample Kolmogorov–Smirnov drift check between the URGENT and
+    * LOW order-price distributions. The CDFs are global cumulative
+    * counts over price order — computed with Dist.globalCumsumBy
+    * (range-bucketed two-phase cumsum), NOT a single-partition
+    * window, so the statistic scales to any table. Counts stay
+    * integers until the final division; the statistic is rounded
+    * before the top-1 cut.
+    */
+  val q131 = Q(
+    "q131_ks_drift",
+    (s, dir) => {
+      val g = Tables.t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(col("o_totalprice").as("p"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("u"),
+          sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("l"))
+      val cum = Dist.globalCumsumBy(g, Seq(col("p")), Seq("u", "l"), 32)
+      val tot = g.agg(sum("u").as("tu"), sum("l").as("tl"))
+      cum.crossJoin(broadcast(tot))
+        .select(
+          round(abs(col("u_cum").cast("double") / col("tu") -
+            col("l_cum").cast("double") / col("tl")), 6).as("ks"),
+          col("p").as("at_price"))
+        .orderBy(col("ks").desc, col("at_price"))
+        .limit(1)
+    },
+    Some("""WITH g AS (
+      |  SELECT o_totalprice AS p,
+      |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS u,
+      |    sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS l
+      |  FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  GROUP BY 1),
+      |c AS (SELECT p,
+      |        sum(u) OVER (ORDER BY p) AS cu,
+      |        sum(l) OVER (ORDER BY p) AS cl FROM g),
+      |t AS (SELECT sum(u) AS tu, sum(l) AS tl FROM g)
+      |SELECT round(abs(CAST(cu AS DOUBLE) / tu - CAST(cl AS DOUBLE) / tl), 6) AS ks,
+      |  p AS at_price
+      |FROM c CROSS JOIN t
+      |ORDER BY ks DESC, at_price LIMIT 1""".stripMargin))
+
+  /** NOT IN subquery null semantics — the null-aware anti join. The
+    * first branch is an ordinary anti join (202 customers without a
+    * >400k order); the second poisons the subquery with NULLs via
+    * nullif (custkey 7 has >400k orders), so SQL three-valued logic
+    * makes `x NOT IN (..., NULL, ...)` never-true and the branch
+    * returns ZERO rows. Issued as SQL text because NOT IN's
+    * null-awareness only exists on the SQL surface — the DataFrame
+    * API has no equivalent; Spark plans it as
+    * BroadcastHashJoin(..., LeftAnti, isNullAwareAntiJoin=true).
+    */
+  val q133 = Q(
+    "q133_notin_null_semantics",
+    (s, dir) => {
+      Tables.t(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT * FROM (
+        SELECT 'no_big_order' AS branch, c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        UNION ALL
+        SELECT 'null_poisoned' AS branch, c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT nullif(o_custkey, 7) FROM orders WHERE o_totalprice > 400000))
+        ORDER BY branch, c_custkey""")
+    },
+    Some("""SELECT * FROM (
+      |  SELECT 'no_big_order' AS branch, c_custkey, c_name FROM customer
+      |  WHERE c_custkey NOT IN
+      |    (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |  UNION ALL
+      |  SELECT 'null_poisoned' AS branch, c_custkey, c_name FROM customer
+      |  WHERE c_custkey NOT IN
+      |    (SELECT nullif(o_custkey, 7) FROM orders WHERE o_totalprice > 400000))
+      |ORDER BY branch, c_custkey""".stripMargin))
+
+  /** The HiveQL text surface end-to-end: a CTE + 3-table join +
+    * windowed top-3-per-month, issued as one SQL string over
+    * registered views — the exact shape a reference user types at
+    * HiveServer2. Revenue is rounded BEFORE ranking so the window
+    * order (and thus the rn<=3 cut) is reproducible cross-engine.
+    */
+  val q134 = Q(
+    "q134_sql_text_surface",
+    (s, dir) => {
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables.t(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql("""WITH rev AS (
+        SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+          round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS DATE)),
+      ranked AS (
+        SELECT n_name, mon, rev,
+          row_number() OVER (PARTITION BY mon ORDER BY rev DESC, n_name) AS rn
+        FROM rev)
+      SELECT mon, rn, n_name, rev FROM ranked WHERE rn <= 3
+      ORDER BY mon, rn""")
+    },
+    Some("""WITH rev AS (
+      |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+      |    round(sum(o_totalprice), 2) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS DATE)),
+      |ranked AS (
+      |  SELECT n_name, mon, rev,
+      |    row_number() OVER (PARTITION BY mon ORDER BY rev DESC, n_name) AS rn
+      |  FROM rev)
+      |SELECT mon, CAST(rn AS INTEGER) AS rn, n_name, rev FROM ranked WHERE rn <= 3
+      |ORDER BY mon, rn""".stripMargin))
+
+  /** Bin-bucketed interval join: errors within 1 hour after each
+    * purchase, per user. A naive `ts BETWEEN` theta join is a
+    * BroadcastNestedLoopJoin — O(purchases × errors) and
+    * undistributable. Bucketing both sides into hour bins and
+    * exploding each purchase to its two candidate bins turns it into
+    * a plain (user, bin) equi-join (hash/SMJ, AQE-skew-splittable)
+    * with the exact range predicate as a residual filter; an error
+    * matches at most one probe bin so nothing double-counts. The
+    * oracle runs the naive theta join — same result, different
+    * algorithm.
+    */
+  val q135 = Q(
+    "q135_binned_interval_join",
+    (s, dir) => {
+      val ev = Tables.t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"),
+          floor(unix_timestamp(col("ts")) / 3600).as("b0"))
+        .withColumn("bkt", explode(array(col("b0"), col("b0") + 1)))
+        .drop("b0")
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"),
+          floor(unix_timestamp(col("ts")) / 3600).as("e_bkt"))
+      p.join(e,
+          col("user_id") === col("e_user") && col("bkt") === col("e_bkt") &&
+            col("e_ts") >= col("p_ts") &&
+            col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy("p_id")
+        .agg(count(col("e_id")).as("n_errors"))
+        .orderBy("p_id")
+    },
+    Some("""SELECT p.event_id AS p_id, count(e.event_id) AS n_errors
+      |FROM events p LEFT JOIN events e
+      |  ON e.event_type = 'error' AND e.user_id = p.user_id
+      | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Vector[Q] = Vector(q131, q133, q134, q135)
+}

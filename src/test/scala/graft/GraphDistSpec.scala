@@ -55,6 +55,27 @@ class GraphDistSpec extends SparkSpec {
     assert(buckets > 1)
   }
 
+  test("globalCumsumBy equals the single-partition window result on both columns") {
+    import spark.implicits._
+    // arbitrary (non-hash) total order, two count columns
+    val df = (1L to 400L).map(i => (i * 13 % 397, i % 3, i % 5))
+      .toDF("k", "u", "l")
+      .groupBy("k")
+      .agg(sum("u").as("u"), sum("l").as("l"))
+      .repartition(4)
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("u_cum", sum("u").over(w))
+      .withColumn("l_cum", sum("l").over(w))
+      .select("k", "u_cum", "l_cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dist = Dist.globalCumsumBy(df, Seq(col("k")), Seq("u", "l"), 6)
+      .select("k", "u_cum", "l_cum").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dist == naive)
+  }
+
   test("globalRank equals the single-partition window result") {
     import spark.implicits._
     val df = (1L to 300L).map(i => (i, i * 37 % 101)).toDF("id", "score")

@@ -72,4 +72,26 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == plain)
   }
+
+  test("binned interval join is an equi-join (no nested-loop) and equals the theta join") {
+    val binned = queries.Relational5.q135.fn(spark, sf())
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"binned interval join fell back to a nested loop:\n$plan")
+    val ev = Tables.t(spark, sf(), "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+    val naive = p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy("p_id").agg(count(col("e_id")).as("n_errors"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = binned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
 }
