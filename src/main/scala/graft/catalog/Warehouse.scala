@@ -108,6 +108,37 @@ final class Warehouse(spark: SparkSession) {
     (stats.sizeInBytes, stats.rowCount)
   }
 
+  /** CREATE OR REPLACE VIEW (Hive (D)-surface DDL): a named, stored
+    * query over warehouse tables — the standard way reference users
+    * layer derived relations without copying data. Returns the
+    * registered name.
+    */
+  def createView(name: String, selectSql: String): String = {
+    val t = graft.types.Types.sanitizeTableName(name)
+    spark.sql(s"CREATE OR REPLACE VIEW ${q(t)} AS $selectSql")
+    t
+  }
+
+  /** CREATE TABLE AS SELECT (Hive CTAS): materialize a query as a
+    * managed table in one DDL statement.
+    */
+  def createTableAs(name: String, selectSql: String): String = {
+    val t = graft.types.Types.sanitizeTableName(name)
+    spark.sql(s"CREATE TABLE ${q(t)} AS $selectSql")
+    t
+  }
+
+  /** Hive `CACHE TABLE` equivalent: pin a table (or view) in the
+    * cluster-wide block-manager cache for repeated interactive reads;
+    * `uncache` releases it. Lazy by default — materialized on first
+    * scan, like CACHE LAZY TABLE.
+    */
+  def cache(name: String): Unit = spark.catalog.cacheTable(q(name))
+
+  def uncache(name: String): Unit = spark.catalog.uncacheTable(q(name))
+
+  def isCached(name: String): Boolean = spark.catalog.isCached(q(name))
+
   /** Health probe: SELECT 1 (app.py:125,134; hive_manager.py:152). */
   def healthy(): Boolean =
     spark.sql("SELECT 1").collect().headOption.exists(_.getInt(0) == 1)

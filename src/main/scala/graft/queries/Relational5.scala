@@ -172,5 +172,90 @@ object Relational5 {
       |WHERE p.event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Vector[Q] = Vector(q131, q133, q134, q135)
+  /** Calendar-interval RANGE frame: 7-day trailing average of daily
+    * revenue — `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT
+    * ROW` over a DATE order column (q24 covers the numeric-RANGE
+    * form; the interval form is its own parser/exec path). The
+    * window's input is the DAILY aggregate — O(#days), not
+    * O(orders) — so the unpartitioned window is fine at any corpus
+    * scale; the heavy lifting happened in the groupBy.
+    */
+  val q136 = Q(
+    "q136_interval_range_frame",
+    (s, dir) => {
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          sum(o_totalprice) AS rev, count(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT day, n, round(rev, 2) AS rev,
+        round(avg(rev) OVER (ORDER BY day
+          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+          AS avg_7d
+      FROM d ORDER BY day""")
+    },
+    Some("""WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(o_totalprice) AS rev, count(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n, round(rev, 2) AS rev,
+      |  round(avg(rev) OVER (ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+      |    AS avg_7d
+      |FROM d ORDER BY day""".stripMargin))
+
+  /** TPC-H Q11 shape: part values above a fraction of the GLOBAL
+    * total — a scalar subquery inside HAVING, decorrelated by
+    * Catalyst into an aggregate + broadcast cross join. The 0.00058
+    * fraction sits ≥5e-5 relative distance from every group sum in
+    * the fixtures, 7 orders of magnitude above float-sum jitter, so
+    * the cut is reproducible cross-engine.
+    */
+  val q137 = Q(
+    "q137_group_share_threshold",
+    (s, dir) => {
+      Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_partkey,
+        round(sum(l_extendedprice * l_quantity), 2) AS val
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING sum(l_extendedprice * l_quantity) >
+        (SELECT sum(l_extendedprice * l_quantity) * 0.00058 FROM lineitem)
+      ORDER BY val DESC, l_partkey""")
+    },
+    Some("""SELECT l_partkey,
+      |  round(sum(l_extendedprice * l_quantity), 2) AS val
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING sum(l_extendedprice * l_quantity) >
+      |  (SELECT sum(l_extendedprice * l_quantity) * 0.00058 FROM lineitem)
+      |ORDER BY val DESC, l_partkey""".stripMargin))
+
+  /** Named-aggregate gap-fill: mode() and median() (exact
+    * interpolating), per event type — the Hive/DuckDB scalar-agg
+    * surface beyond q19/q20's percentiles. The fixture's per-type
+    * user mode is tie-free is NOT assumed: mode is taken over
+    * event_type globally (signup wins 2017 vs 2014) and medians are
+    * per-type over `value`.
+    */
+  val q138 = Q(
+    "q138_mode_median",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = ev.agg(mode(col("event_type")).as("modal_type"))
+      ev.groupBy("event_type")
+        .agg(
+          round(median(col("value")), 4).as("med_value"),
+          count(lit(1)).as("n"))
+        .crossJoin(broadcast(m))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (SELECT mode(event_type) AS modal_type FROM events)
+      |SELECT event_type, round(median(value), 4) AS med_value,
+      |  count(*) AS n, modal_type
+      |FROM events CROSS JOIN m
+      |GROUP BY event_type, modal_type
+      |ORDER BY event_type""".stripMargin))
+
+  val all: Vector[Q] = Vector(q131, q133, q134, q135, q136, q137, q138)
 }

@@ -84,4 +84,27 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.info(t).rowCount == 2)
     wh.drop(t)
   }
+
+  test("view + CTAS + cache lifecycle") {
+    import spark.implicits._
+    Seq("v_top", "ctas_t", "base_t").foreach { n =>
+      spark.sql(s"DROP VIEW IF EXISTS $n")
+      wh.drop(n)
+    }
+    wh.createManaged("base_t", Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "g"))
+    // view: a stored query, re-evaluated per read
+    val v = wh.createView("v_top", "SELECT g, count(*) AS n FROM base_t GROUP BY g")
+    assert(spark.table(v).count() == 2)
+    // CTAS: materialized once
+    val c = wh.createTableAs("ctas_t", "SELECT * FROM base_t WHERE k <= 2")
+    assert(spark.table(c).count() == 2)
+    // cache pin/release
+    wh.cache("base_t")
+    spark.table("base_t").count() // materialize the lazy cache
+    assert(wh.isCached("base_t"))
+    wh.uncache("base_t")
+    assert(!wh.isCached("base_t"))
+    spark.sql("DROP VIEW IF EXISTS v_top")
+    wh.drop(c); wh.drop("base_t")
+  }
 }
