@@ -236,14 +236,17 @@ object EventStreams {
 
   /** State partition count for the stateful operators. A streaming
     * job sizes this to its stateful KEYSPACE (here O(windows ×
-    * event_types) ≈ 10³ keys, so per-partition state-store init
-    * dominates past a handful of partitions — measured 2.3 s → 1.75 s
-    * per query going 32 → 8 on the fixture), NOT to the batch shuffle
-    * width: the count is frozen into the checkpoint at first start,
+    * event_types) ≈ 10³ keys, so per-partition state-store init and
+    * per-batch delta-file checkpointing dominate past a handful of
+    * partitions — measured 2.3 s → 1.75 s per query going 32 → 8 on
+    * the fixture, and another −0.7 s on the stream-stream join going
+    * 8 → 4: that join keeps FOUR state stores per partition), NOT to
+    * the batch shuffle width:
+    * the count is frozen into the checkpoint at first start,
     * so it is a per-job capacity decision (state bytes / ~100 MB per
     * partition at production volume), never an inherited default.
     */
-  private val statePartitions = 8
+  private val statePartitions = 4
 
   private def runToCompletion(
       agg: DataFrame, mode: String, queryName: String): DataFrame = {
