@@ -257,5 +257,61 @@ object Relational5 {
       |GROUP BY event_type, modal_type
       |ORDER BY event_type""".stripMargin))
 
-  val all: Vector[Q] = Vector(q131, q133, q134, q135, q136, q137, q138)
+  /** posexplode — the ordinal-carrying generator (LATERAL VIEW
+    * POSEXPLODE in HiveQL; q65 covers the plain explode): first three
+    * token positions per document.
+    */
+  val q140 = Q(
+    "q140_posexplode_ordinal",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.Portable.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+        .filter(col("pos") < 3)
+        .orderBy("doc_id", "pos")
+    },
+    Some(s"""SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+      |FROM (SELECT doc_id,
+      |        ${graft.functions.Portable.tokensSql("text")} AS toks
+      |      FROM documents)
+      |CROSS JOIN generate_series(1, 3) g(i)
+      |WHERE i <= len(toks)
+      |ORDER BY doc_id, pos""".stripMargin))
+
+  /** Higher-order-function surface beyond transform/filter (q43-q51):
+    * exists, forall, aggregate with a FINISH lambda, and the
+    * index-carrying filter form — all codegen-adjacent array ops, no
+    * UDF. DuckDB mirrors with list_bool_or/and and a 1-based lambda
+    * index.
+    */
+  val q141 = Q(
+    "q141_hof_exists_forall",
+    (s, dir) => {
+      Tables.t(s, dir, "documents")
+        .withColumn("toks", graft.functions.Portable.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          expr("exists(toks, t -> t = 'join')").as("has_join"),
+          expr("forall(toks, t -> length(t) >= 2)").as("all_ge2"),
+          round(expr(
+            "aggregate(toks, 0L, (acc, t) -> acc + length(t), acc -> CAST(acc AS DOUBLE) / size(toks))"),
+            5).as("avg_tok_len"),
+          expr("size(filter(toks, (t, i) -> i % 2 = 0))").as("n_even_pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      |  list_bool_or(list_transform(toks, t -> t = 'join')) AS has_join,
+      |  list_bool_and(list_transform(toks, t -> length(t) >= 2)) AS all_ge2,
+      |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+      |    / len(toks), 5) AS avg_tok_len,
+      |  CAST(len(list_filter(toks, (t, i) -> (i - 1) % 2 = 0)) AS INTEGER)
+      |    AS n_even_pos
+      |FROM (SELECT doc_id,
+      |        ${graft.functions.Portable.tokensSql("text")} AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141)
 }

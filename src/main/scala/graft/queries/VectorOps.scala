@@ -304,5 +304,67 @@ object VectorOps {
       |WHERE round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY va, vb""".stripMargin))
 
-  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52, q66, q67)
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-dup
+    * removal scoped to IVF cells. Vectors are assigned to their
+    * nearest centroid cell (same map-side argmin as q66 — the
+    * centroid table broadcasts, assignment is one aggregate), then
+    * exact cosine runs ONLY within a cell, and a vector is dropped
+    * when a smaller-id cell-mate sits above the similarity threshold;
+    * the keeper is its smallest such neighbour. Pair volume is
+    * Σ cellᵢ² instead of n² — the shape that makes semantic dedup
+    * feasible at corpus scale. Threshold compares the ROUNDED cosine
+    * so the cut is reproducible cross-engine.
+    */
+  val q139 = Q(
+    "q139_semdedup_cells",
+    (s, dir) => {
+      val assigned = emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
+        .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("clabel"), col("embedding"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.clabel").as("cell"))
+        .withColumn("nrm", V.norm("embedding"))
+      val a = assigned.select(col("vec_id").as("keeper_cand"), col("cell"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("vec_id").as("dropped"), col("cell").as("cellb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("cell") === col("cellb") && col("keeper_cand") < col("dropped"))
+        .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.35)
+        .groupBy("dropped")
+        .agg(
+          min("keeper_cand").as("keeper"),
+          max("cos").as("max_cos"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("dropped")
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT clabel, list(c ORDER BY pos) AS cvec FROM (
+      |    SELECT label AS clabel, i AS pos,
+      |      round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      |    FROM embeddings, generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY clabel),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell,
+      |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(${V.dist2Sql("e.embedding", "c.cvec")}, 6), c.clabel) AS rn
+      |    FROM embeddings e CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS keeper_cand, b.vec_id AS dropped,
+      |    round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT dropped, min(keeper_cand) AS keeper, max(cos) AS max_cos,
+      |  count(*) AS n_dups
+      |FROM pairs WHERE cos >= 0.35
+      |GROUP BY dropped ORDER BY dropped""".stripMargin))
+
+  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52, q66, q67, q139)
 }

@@ -180,7 +180,7 @@ object EventStreams {
   /** Open-session state carried across micro-batches. */
   final case class SessState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 
-  private val GapUs = 1800000000L // 30 minutes
+  private[graft] val GapUs = 1800000000L // 30 minutes
 
   /** T5 custom state: per-user sessionization via
     * flatMapGroupsWithState with an event-time timeout. Sessions
@@ -219,6 +219,91 @@ object EventStreams {
       }
     }
     out.iterator
+  }
+
+  /** The same sessionizer on transformWithState — Spark 4's successor
+    * to flatMapGroupsWithState: named, individually-typed state
+    * primitives (ValueState here; ListState/MapState for richer
+    * shapes) plus explicit event-time TIMERS instead of a single
+    * timeout slot, so one processor can track several deadlines per
+    * key. Requires the RocksDB state-store provider (the API's
+    * backing-store contract) — statefulSessionsTws sets it on the
+    * session before planning; the provider class is frozen into the
+    * checkpoint like the shuffle-partition count.
+    */
+  final class TwsSessionizer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEvent, Session] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessState](
+        "sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def timerMs(st: SessState): Long =
+      st.lastUs / 1000L + GapUs / 1000L
+
+    private def close(uid: Long, st: SessState): Session =
+      Session(uid, st.startUs / 1000000L, st.n, st.sum)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[SessEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      // the open session's old deadline is superseded by this batch
+      cur.foreach(st => getHandle.deleteTimer(timerMs(st)))
+      rows.toArray.sortBy(_.us).foreach { e =>
+        cur match {
+          case Some(st) if e.us - st.lastUs < GapUs =>
+            cur = Some(SessState(st.startUs, e.us, st.n + 1, st.sum + e.value))
+          case Some(st) =>
+            out += close(uid, st)
+            cur = Some(SessState(e.us, e.us, 1L, e.value))
+          case None =>
+            cur = Some(SessState(e.us, e.us, 1L, e.value))
+        }
+      }
+      cur.foreach { st =>
+        sess.update(st)
+        getHandle.registerTimer(timerMs(st))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] =
+      if (sess.exists()) {
+        val st = sess.get()
+        sess.clear()
+        Iterator.single(close(uid, st))
+      } else Iterator.empty
+  }
+
+  /** [[TwsSessionizer]] over an event stream; same output contract as
+    * [[statefulSessions]].
+    */
+  def statefulSessionsTws(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TwsSessionizer,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Run the custom-state sessionizer over an event stream. */

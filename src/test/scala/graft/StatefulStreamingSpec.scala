@@ -62,6 +62,57 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer: state and timers across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.statefulSessionsTws(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_spec").start()
+    try {
+      input.addData((7L, ts(0), 1.0), (7L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_spec").count() == 0, "session still open")
+      // beyond the 30-min gap: closes the carried session (same
+      // contract as the flatMapGroupsWithState form)
+      input.addData((7L, ts(50), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_spec")
+        .select("user_id", "n_events", "sum_value").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 7L)
+      assert(rows.head.getLong(1) == 2L)
+      assert(rows.head.getDouble(2) == 3.0)
+      // advancing the watermark far past lastEvent+gap fires the
+      // event-time TIMER and closes the open session with no further
+      // events for user 7
+      input.addData((9L, ts(200), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("tws_spec")
+        .filter(col("user_id") === 7L).collect()
+      assert(closed.length == 2, "timer must close the trailing session")
+    } finally q.stop()
+  }
+
+  test("transformWithState closed sessions match the flatMapGroupsWithState ones") {
+    val tws = EventStreams.statefulSessionsTws(
+      EventStreams.readEvents(spark, sf()))
+    val q1 = tws.writeStream.outputMode("append").format("memory")
+      .queryName("tws_fixture").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val fmg = EventStreams.statefulSessions(
+      EventStreams.readEvents(spark, sf()))
+    val q2 = fmg.writeStream.outputMode("append").format("memory")
+      .queryName("fmg_fixture").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val legacy = spark.table("fmg_fixture")
+    val got = spark.table("tws_fixture")
+    assert(got.count() > 0)
+    assert(got.exceptAll(legacy).isEmpty && legacy.exceptAll(got).isEmpty,
+      "both stateful APIs must close the identical session set")
+  }
+
   test("closed sessions from the fixture match the batch session_window result") {
     val stream = EventStreams.statefulSessions(
       graft.streaming.EventStreams.readEvents(spark, sf()))
