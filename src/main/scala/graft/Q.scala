@@ -39,5 +39,6 @@ object Q {
       queries.Relational4.all ++
       queries.CorpusOps2.all ++
       queries.SearchOps.all ++
-      queries.Relational5.all
+      queries.Relational5.all ++
+      queries.GraphOps.all
 }

@@ -312,6 +312,31 @@ object Relational5 {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
+  /** Correlated scalar subquery in the SELECT list plus EXISTS as a
+    * projected boolean — the projection-side subquery forms (q64
+    * covers the WHERE side). Catalyst decorrelates both into outer
+    * joins against pre-aggregated/deduplicated subplans.
+    */
+  val q143 = Q(
+    "q143_select_scalar_subquery",
+    (s, dir) => {
+      Tables.t(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables.t(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""SELECT n_name,
+        (SELECT count(*) FROM customer
+         WHERE c_nationkey = n_nationkey) AS n_cust,
+        EXISTS (SELECT 1 FROM supplier
+                WHERE s_nationkey = n_nationkey) AS has_supp
+      FROM nation ORDER BY n_name""")
+    },
+    Some("""SELECT n_name,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey = n_nationkey) AS n_cust,
+      |  EXISTS (SELECT 1 FROM supplier
+      |          WHERE s_nationkey = n_nationkey) AS has_supp
+      |FROM nation ORDER BY n_name""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141)
+    Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141, q143)
 }

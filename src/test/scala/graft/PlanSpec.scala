@@ -146,4 +146,33 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n${s.take(2000)}")
   }
+
+  test("q126: BM25 df/stats sides broadcast into the scoring join") {
+    val df = q("q126_bm25_search")
+    df.collect()
+    val s = planString(df)
+    // dfq (per-term document frequency) and the corpus stats row are
+    // tiny at ANY corpus size — both must broadcast, never shuffle
+    assert("BroadcastHashJoin".r.findAllIn(s).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(s).size >= 2,
+      s"df and stats must broadcast:\n${s.take(2000)}")
+  }
+
+  test("q130: DSIR ratio table joins as a broadcast (fixed 64 rows at any scale)") {
+    val df = q("q130_dsir_importance")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"bucket-ratio join must broadcast:\n${s.take(2000)}")
+  }
+
+  test("q137: HAVING scalar subquery decorrelates (no per-group re-execution)") {
+    val df = q("q137_group_share_threshold")
+    df.collect()
+    val s = planString(df)
+    // the global-total subquery must appear as one extra aggregate
+    // (scalar subquery / broadcast), not a correlated per-group loop
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected decorrelated aggregate pair:\n${s.take(2000)}")
+  }
 }
