@@ -337,6 +337,68 @@ object Relational5 {
       |          WHERE s_nationkey = n_nationkey) AS has_supp
       |FROM nation ORDER BY n_name""".stripMargin))
 
+  /** Incremental aggregate maintenance — the warehouse ETL pattern
+    * that replaces full recomputes: the standing per-customer rollup
+    * (orders before 2000-01-01) is updated with a new batch (orders
+    * from 2000 on) by aggregating ONLY the batch and full-outer
+    * merging the two small aggregate tables. The oracle is the full
+    * recompute over all orders — incremental == full is exactly the
+    * invariant an incremental pipeline must prove. At 100 TB the
+    * batch-side cost is O(batch), not O(corpus); the merge shuffles
+    * two aggregate tables, never the facts.
+    */
+  val q144 = Q(
+    "q144_incremental_rollup",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("tot"))
+      val standing = agg(o.filter(col("o_orderdate") < "2000-01-01"))
+        .select(col("o_custkey").as("k1"), col("n").as("n1"), col("tot").as("t1"))
+      val batch = agg(o.filter(col("o_orderdate") >= "2000-01-01"))
+        .select(col("o_custkey").as("k2"), col("n").as("n2"), col("tot").as("t2"))
+      standing.join(batch, col("k1") === col("k2"), "full_outer")
+        .select(
+          coalesce(col("k1"), col("k2")).as("o_custkey"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_orders"),
+          round(coalesce(col("t1"), lit(0.0)) + coalesce(col("t2"), lit(0.0)), 2)
+            .as("total"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape:
+    * letter runs | digit runs | punctuation runs) over the events
+    * JSON props — the token-counting variant the whitespace kernel
+    * (q44) can't see. Same pattern string compiles identically under
+    * Java regex and RE2.
+    */
+  val q145 = Q(
+    "q145_bpe_regex_tokens",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          size(expr("regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+            .as("n_bpe"),
+          size(graft.functions.Portable.tokens(col("props"))).as("n_ws"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
+          round(avg(col("n_ws")), 4).as("avg_ws_tokens"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, count(*) AS n_events,
+      |  round(avg(len(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))), 4)
+      |    AS avg_bpe_tokens,
+      |  round(avg(len(${graft.functions.Portable.tokensSql("props")})), 4)
+      |    AS avg_ws_tokens
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141, q143)
+    Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141, q143,
+      q144, q145)
 }

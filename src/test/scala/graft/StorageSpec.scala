@@ -77,6 +77,31 @@ class StorageSpec extends SparkSpec {
     assert(r.rowCount == 1)
   }
 
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-dpo").toString + "/t"
+    val o = Tables.t(spark, sf(), "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    o.write.partitionBy("yr").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val n1996 = before.filter(col("yr") === 1996).count()
+    val nTotal = before.count()
+    // overwrite ONLY yr=1995 (one row, dynamic mode): with static
+    // overwrite this would truncate the whole table first
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      before.filter(col("yr") === 1995).limit(1)
+        .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("yr") === 1995).count() == 1,
+      "the touched partition is replaced")
+    assert(after.filter(col("yr") === 1996).count() == n1996,
+      "untouched partitions must survive the overwrite")
+    assert(after.count() < nTotal && after.count() > n1996)
+  }
+
   test("DISTRIBUTE BY + SORT BY: rows are sorted within each partition") {
     val df = Tables.t(spark, sf(), "orders")
       .repartition(4, col("o_custkey"))          // DISTRIBUTE BY
