@@ -5,13 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc profiler: time named registry queries (all if no names)
   * after a warmup, optionally dumping the formatted physical plan.
   *
-  *   sbt "runMain graft.Profile q43_ngram_jaccard --explain"
+  *   sbt "runMain graft.Profile q43_ngram_jaccard --explain --runs=6"
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")
+    val runs = args.collectFirst { case a if a.startsWith("--runs=") =>
+      a.stripPrefix("--runs=").toInt
+    }.getOrElse(2)
     val names0 = args.filterNot(_.startsWith("--")).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,12 +40,16 @@ object Profile {
       // build INSIDE the timer: eager queries (the CC loop, the
       // streaming twins) do their work during construction, so
       // timing only the final write would understate them wildly
-      (1 to 2).foreach { i =>
+      val ts = (1 to runs).map { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[prof] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[prof] $name run$i: $t%.2f s")
+        t
       }
+      if (runs > 2)
+        println(f"[prof] $name best(after-warm)=${ts.drop(1).min}%.3f s")
     }
     spark.stop()
   }

@@ -32,7 +32,19 @@ object GraphOps {
           concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
         .distinct()
+      // pin the loop-invariant edge table pre-partitioned on the join
+      // key (the CC-loop discipline): without the checkpoint every
+      // iteration's LAZY plan re-derives orders⋈lineitem→distinct from
+      // scratch, and without the repartition every iteration
+      // re-shuffles the (big) edge side instead of only the rank
+      // table. The iterations themselves stay lazy — AQE coalesces
+      // their small rank-table shuffles at runtime, so no manual
+      // shuffle-partition override is needed (measured: an eager
+      // per-round conf swap was a net LOSS here, unlike the
+      // convergence-driven CC loop which must act every round anyway).
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint(true)
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true) // pin: reused by every iteration
       val nFrame = broadcast(deg.agg(count(lit(1)).as("n")))
