@@ -53,6 +53,22 @@ object EngineDemo {
       .collect()
       .foreach(row => println(s"[demo] total ${row.getString(0)} = ${row.getDouble(1)}"))
 
+    // 4b. derived relations: a stored VIEW over the table, a CTAS
+    //     materialization, and a cache pin for hot interactive reads
+    spark.sql("DROP VIEW IF EXISTS sales_by_region")
+    wh.drop("sales_top")
+    wh.createView("sales_by_region",
+      "SELECT region, round(sum(amount), 2) AS total FROM sales_ext GROUP BY region")
+    wh.createTableAs("sales_top",
+      "SELECT * FROM sales_by_region ORDER BY total DESC LIMIT 1")
+    wh.cache("sales_by_region")
+    println(s"[demo] view rows=${spark.table("sales_by_region").count()} " +
+      s"ctas top=${spark.table("sales_top").head.getString(0)} " +
+      s"cached=${wh.isCached("sales_by_region")}")
+    wh.uncache("sales_by_region")
+    spark.sql("DROP VIEW IF EXISTS sales_by_region")
+    wh.drop("sales_top")
+
     // 5. custom expression injected via SparkSessionExtensions
     val h = spark.sql(
       "SELECT md5long60('graft') AS fast, CAST(conv(substring(md5('graft'), 1, 15), 16, 10) AS BIGINT) AS portable")

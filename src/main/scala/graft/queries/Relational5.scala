@@ -398,7 +398,60 @@ object Relational5 {
       |    AS avg_ws_tokens
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Data-quality rules report — the warehouse health check that runs
+    * after every load: referential integrity (orphan FKs via anti
+    * joins), domain rules (negative amounts, ship-before-order),
+    * key integrity (null/duplicate keys). Each rule is one aggregate;
+    * the anti joins broadcast the key side they probe. A zero is as
+    * meaningful as a violation count — the report shape is the
+    * operator.
+    */
+  val q147 = Q(
+    "q147_data_quality_rules",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      def one(rule: String, n: org.apache.spark.sql.DataFrame) =
+        n.select(lit(rule).as("rule"), col("n"))
+      val orphanLine = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val orphanOrder = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val negPrice = li.filter(col("l_extendedprice") < 0).agg(count(lit(1)).as("n"))
+      val shipBeforeOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate"))
+        .agg(count(lit(1)).as("n"))
+      val nullKey = o.filter(col("o_custkey").isNull).agg(count(lit(1)).as("n"))
+      val dupPk = o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n"))
+      one("l1_orphan_lineitem", orphanLine)
+        .union(one("l2_orphan_order", orphanOrder))
+        .union(one("l3_negative_price", negPrice))
+        .union(one("l4_ship_before_order", shipBeforeOrder))
+        .union(one("l5_null_custkey", nullKey))
+        .union(one("l6_duplicate_orderkey", dupPk))
+        .orderBy("rule")
+    },
+    Some("""SELECT 'l1_orphan_lineitem' AS rule, count(*) AS n
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'l2_orphan_order', count(*)
+      |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |UNION ALL
+      |SELECT 'l3_negative_price', count(*)
+      |FROM lineitem WHERE l_extendedprice < 0
+      |UNION ALL
+      |SELECT 'l4_ship_before_order', count(*)
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate < o_orderdate
+      |UNION ALL
+      |SELECT 'l5_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+      |UNION ALL
+      |SELECT 'l6_duplicate_orderkey',
+      |  count(*) - count(DISTINCT o_orderkey) FROM orders
+      |ORDER BY rule""".stripMargin))
+
   val all: Vector[Q] =
     Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141, q143,
-      q144, q145)
+      q144, q145, q147)
 }

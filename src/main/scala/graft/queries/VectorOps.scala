@@ -366,5 +366,102 @@ object VectorOps {
       |FROM pairs WHERE cos >= 0.35
       |GROUP BY dropped ORDER BY dropped""".stripMargin))
 
-  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52, q66, q67, q139)
+  /** IVF with nprobe=2 + recall audit: each query probes its TWO
+    * nearest cells (q66 is nprobe=1) and the probe result is scored
+    * against the exact brute-force top-10 — recall@10 per query. This
+    * is the dial a production ANN deployment tunes (probe more cells
+    * → higher recall, more candidates); auditing it against the exact
+    * answer is how the setting is chosen. Candidates carry ONE cell
+    * each; only queries fan out (×2), so candidate volume stays
+    * Σ cellᵢ·|queries probing i|.
+    */
+  val q146 = Q(
+    "q146_ivf_nprobe2_recall",
+    (s, dir) => {
+      val byDist = Window.partitionBy("vec_id")
+        .orderBy(col("d2"), col("clabel"))
+      val ranked = emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
+        .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
+        .withColumn("crn", row_number().over(byDist))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id"), col("embedding"), col("clabel").as("cell"),
+          col("crn"))
+        .withColumn("nrm", V.norm("embedding"))
+      val cand = ranked.filter(col("crn") === 1).select(
+        col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+      // queries fan out to their 2 probe cells
+      val qs = ranked.filter(col("vec_id") < 50).select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+      val probed = cand.join(broadcast(qs),
+          col("cell") === col("qcell") && col("cand_id") =!= col("query_id"))
+        .withColumn("cos", round(V.dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("query_id").as("pq"), col("cand_id").as("pc"))
+      val exactQs = ranked.filter(col("crn") === 1 && col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val exact = cand.crossJoin(broadcast(exactQs))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("cos", round(V.dot("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rn") <= 10)
+      exact
+        .join(probed,
+          col("query_id") === col("pq") && col("cand_id") === col("pc"),
+          "left")
+        .groupBy("query_id")
+        .agg((sum(when(col("pc").isNotNull, 1).otherwise(0)) / 10.0).as("recall10"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH cent AS (
+      |  SELECT clabel, list(c ORDER BY pos) AS cvec FROM (
+      |    SELECT label AS clabel, i AS pos,
+      |      round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      |    FROM embeddings, generate_series(1, 64) g(i)
+      |    GROUP BY 1, 2)
+      |  GROUP BY clabel),
+      |ranked AS (
+      |  SELECT vec_id, embedding, cell, crn,
+      |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(${V.dist2Sql("e.embedding", "c.cvec")}, 6), c.clabel) AS crn
+      |    FROM embeddings e CROSS JOIN cent c)
+      |  WHERE crn <= 2),
+      |cand AS (SELECT vec_id AS cand_id, embedding AS ce, nrm AS cn, cell
+      |         FROM ranked WHERE crn = 1),
+      |qs AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell AS qcell
+      |       FROM ranked WHERE vec_id < 50),
+      |probed AS (
+      |  SELECT query_id AS pq, cand_id AS pc FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(${V.dotSql("qe", "ce")} / (qn * cn), 6) DESC,
+      |          cand_id) AS rn
+      |    FROM cand JOIN qs ON cell = qcell AND cand_id <> query_id)
+      |  WHERE rn <= 10),
+      |exactq AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+      |           FROM ranked WHERE crn = 1 AND vec_id < 50),
+      |exact AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(${V.dotSql("qe", "ce")} / (qn * cn), 6) DESC,
+      |          cand_id) AS rn
+      |    FROM cand CROSS JOIN exactq
+      |    WHERE cand_id <> query_id)
+      |  WHERE rn <= 10)
+      |SELECT e.query_id,
+      |  sum(CASE WHEN p.pc IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS recall10
+      |FROM exact e LEFT JOIN probed p
+      |  ON e.query_id = p.pq AND e.cand_id = p.pc
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52, q66, q67, q139, q146)
 }
