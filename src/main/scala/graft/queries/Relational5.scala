@@ -451,7 +451,24 @@ object Relational5 {
       |  count(*) - count(DISTINCT o_orderkey) FROM orders
       |ORDER BY rule""".stripMargin))
 
+  /** GROUP BY ALL / ORDER BY ALL — the modern SQL shorthand (DuckDB
+    * popularized it; Spark supports both since 3.4/4.0): every
+    * non-aggregate select item groups, the full select list orders.
+    * Parser parity matters for users porting ad-hoc warehouse SQL.
+    */
+  val q148 = Q(
+    "q148_group_order_by_all",
+    (s, dir) => {
+      Tables.t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT lang, source, count(*) AS n,
+        sum(n_chars) AS chars
+      FROM documents GROUP BY ALL ORDER BY ALL""")
+    },
+    Some("""SELECT lang, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY ALL ORDER BY ALL""".stripMargin))
+
   val all: Vector[Q] =
     Vector(q131, q133, q134, q135, q136, q137, q138, q140, q141, q143,
-      q144, q145, q147)
+      q144, q145, q147, q148)
 }

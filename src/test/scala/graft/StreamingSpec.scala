@@ -61,4 +61,35 @@ class StreamingSpec extends SparkSpec {
       "every emitted session must exist identically in the batch result")
     assert(emitted <= b.count())
   }
+
+  test("streaming content dedup of a document stream matches batch exact dedup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // documents arriving as a stream (synthetic event time from the
+    // id) dedup by the portable content hash with evictable state —
+    // the streaming-ingest form of q39's batch exact dedup
+    val docs = Tables.t(spark, sf(), "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val deduped = input.toDF().toDF("doc_id", "text")
+      // base the synthetic event time in 2024: a row at exactly epoch 0
+      // ties the INITIAL watermark and is dropped as late
+      .withColumn("ts", expr("timestamp_micros((1704067200 + doc_id) * 1000000)"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("h", graft.functions.Portable.md5Long(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("doc_dedup").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable() // replays span batches
+    } finally q.stop()
+    val want = Tables.t(spark, sf(), "documents")
+      .select("text").distinct().count()
+    assert(spark.table("doc_dedup").count() == want,
+      "one survivor per distinct content, across micro-batch boundaries")
+  }
 }
