@@ -89,7 +89,9 @@ object Dist {
     val ranged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val aggs = values.map(v => sum(col(v)).as(v))
+    // coalesce: a bucket whose values are all NULL sums to NULL and
+    // would NPE the driver-side getLong below
+    val aggs = values.map(v => coalesce(sum(col(v)), lit(0L)).as(v))
     val perBucket = ranged.groupBy("__pid")
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -57,28 +57,8 @@ object MinHashBands {
     */
   def bandSigs(toks: ArrayData, bands: Int, rows: Int): ArrayData = {
     val seeds = bands * rows
-    val mins = new Array[Long](seeds)
-    java.util.Arrays.fill(mins, Long.MaxValue)
-    var any = false
-    val n = toks.numElements()
-    var i = 0
-    while (i < n) {
-      if (!toks.isNullAt(i)) {
-        any = true
-        val tok = toks.getUTF8String(i).getBytes
-        var sd = 0
-        while (sd < seeds) {
-          val pre = seedPrefix(sd)
-          val buf = new Array[Byte](pre.length + tok.length)
-          System.arraycopy(pre, 0, buf, 0, pre.length)
-          System.arraycopy(tok, 0, buf, pre.length, tok.length)
-          val h = Md5Long60.hashBytes(buf)
-          if (h < mins(sd)) mins(sd) = h
-          sd += 1
-        }
-      }
-      i += 1
-    }
+    val mins = seededMins(toks, seeds)
+    val any = mins.exists(_ != Long.MaxValue)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -107,10 +87,37 @@ object MinHashBands {
     new GenericArrayData(out)
   }
 
-  /** ASCII bytes of "<seed>:" (seed counts are tiny; cache them).
-    * Shared with [[MinHashSig]] so both kernels hash identically.
+  /** The seeded-minima pass both kernels share: min over tokens of
+    * md5long60("<seed>:<token>") for every seed. One implementation
+    * so [[MinHashBands]] buckets and [[MinHashSig]] audit signatures
+    * can never hash differently. Tokens that are null are skipped; a
+    * token-free input leaves every entry at Long.MaxValue.
     */
-  private[functions] def seedPrefixBytes(sd: Int): Array[Byte] = seedPrefix(sd)
+  private[functions] def seededMins(toks: ArrayData, seeds: Int): Array[Long] = {
+    val mins = new Array[Long](seeds)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val tok = toks.getUTF8String(i).getBytes
+        var sd = 0
+        while (sd < seeds) {
+          val pre = seedPrefix(sd)
+          val buf = new Array[Byte](pre.length + tok.length)
+          System.arraycopy(pre, 0, buf, 0, pre.length)
+          System.arraycopy(tok, 0, buf, pre.length, tok.length)
+          val h = Md5Long60.hashBytes(buf)
+          if (h < mins(sd)) mins(sd) = h
+          sd += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** ASCII bytes of "<seed>:" (seed counts are tiny; cache them). */
   private val seedPrefixes = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
   private def seedPrefix(sd: Int): Array[Byte] =
     seedPrefixes.computeIfAbsent(sd,
@@ -161,30 +168,12 @@ case class MinHashSig(child: Expression, seeds: Int)
 
 object MinHashSig {
 
-  /** All `seeds` seeded minima in one pass over the token array. */
-  def sig(toks: ArrayData, seeds: Int): ArrayData = {
-    val mins = new Array[Long](seeds)
-    java.util.Arrays.fill(mins, Long.MaxValue)
-    val n = toks.numElements()
-    var i = 0
-    while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val tok = toks.getUTF8String(i).getBytes
-        var sd = 0
-        while (sd < seeds) {
-          val pre = MinHashBands.seedPrefixBytes(sd)
-          val buf = new Array[Byte](pre.length + tok.length)
-          System.arraycopy(pre, 0, buf, 0, pre.length)
-          System.arraycopy(tok, 0, buf, pre.length, tok.length)
-          val h = Md5Long60.hashBytes(buf)
-          if (h < mins(sd)) mins(sd) = h
-          sd += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  /** All `seeds` seeded minima in one pass over the token array —
+    * [[MinHashBands.seededMins]], the exact loop the band kernel
+    * buckets with.
+    */
+  def sig(toks: ArrayData, seeds: Int): ArrayData =
+    new GenericArrayData(MinHashBands.seededMins(toks, seeds))
 
   /** Register as `minhash_sig(toks, 16)`; seed count must be an
     * integer literal. Idempotent per session.

@@ -56,12 +56,28 @@ object ConnectedComponents {
     // (AQE must stay ON: it is what turns each round's propagate
     // join into a runtime broadcast; with it off the loop is 7×
     // slower in sort-merge joins.)
+    //
+    // The override lives on a CLONED session (same SparkContext, own
+    // conf), never the caller's: the loop holds its narrow setting
+    // for many seconds, and mutating the shared session would race
+    // any concurrent caller that save-and-restores the same key
+    // (e.g. the streaming runToCompletion swap) into permanently
+    // capturing the loop's value. DataFrames cross sessions via
+    // their RDDs — both inputs are pinned right after, so the extra
+    // deserialization boundary is one pass over pinned blocks.
     val spark = edges.sparkSession
     val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.min(sp0.toLong, math.max(8L, nodes.count() / 100000L + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try runLoop(nodes, edges, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", sp0)
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    loopSession.conf.set("spark.sql.adaptive.enabled", "true")
+    val out = runLoop(
+      loopSession.createDataFrame(nodes.rdd, nodes.schema),
+      loopSession.createDataFrame(edges.rdd, edges.schema),
+      maxIter)
+    // hand the (pinned) result back on the caller's session so it
+    // composes with the caller's own frames
+    spark.createDataFrame(out.rdd, out.schema)
   }
 
   private def runLoop(nodes: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {

@@ -127,8 +127,13 @@ object CorpusOps2 {
       val c1 = ts.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c1"))
       val v = c1.agg(count(lit(1)).as("v"))
-      bg.join(broadcast(c2), "bg")
-        .join(broadcast(c1), split_part(col("bg"), lit(" "), lit(1)) === col("tok"))
+      // c2 (distinct bigrams) and c1 (vocabulary) grow with the
+      // corpus toward O(total tokens) — no broadcast hint on them: a
+      // forced broadcast would hit the 8 GB table limit at the 100 TB
+      // design point, while AQE picks broadcast-vs-shuffle from the
+      // measured size at runtime. Only the single-row v is pinned.
+      bg.join(c2, "bg")
+        .join(c1, split_part(col("bg"), lit(" "), lit(1)) === col("tok"))
         .crossJoin(broadcast(v))
         .withColumn("p", (col("c2") + lit(1.0)) / (col("c1") + col("v")))
         .groupBy("doc_id")

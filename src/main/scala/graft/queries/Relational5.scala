@@ -32,7 +32,9 @@ object Relational5 {
           sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("u"),
           sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("l"))
       val cum = Dist.globalCumsumBy(g, Seq(col("p")), Seq("u", "l"), 32)
-      val tot = g.agg(sum("u").as("tu"), sum("l").as("tl"))
+      // grand totals = the cumsum's own maxima — one tiny aggregate
+      // over the checkpointed frame, not a second fact-table scan
+      val tot = cum.agg(max("u_cum").as("tu"), max("l_cum").as("tl"))
       cum.crossJoin(broadcast(tot))
         .select(
           round(abs(col("u_cum").cast("double") / col("tu") -

@@ -121,21 +121,13 @@ object EventStreams {
       .select(
         unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = spark.synchronized {
-      val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-      try {
-        agg.writeStream
-          .outputMode("complete")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(outPath)
-          }
-          .queryName(queryName)
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
-    }
-    try q.processAllAvailable()
-    finally q.stop()
+    drain(spark,
+      agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outPath)
+        }
+        .queryName(queryName))
     spark.read.parquet(outPath)
   }
 
@@ -333,26 +325,33 @@ object EventStreams {
     */
   private val statePartitions = 4
 
-  private def runToCompletion(
-      agg: DataFrame, mode: String, queryName: String): DataFrame = {
-    val spark = agg.sparkSession
-    // start() clones the session (StreamExecution constructor), so the
-    // conf only needs to hold across the start call; synchronize the
-    // swap-and-restore so concurrent callers on one session can't
-    // capture each other's temporary value as the "batch" setting
+  /** Start under the state-sized shuffle setting, drain, stop.
+    * start() clones the session (StreamExecution constructor), so the
+    * conf only needs to hold across the start call; the swap-and-
+    * restore is synchronized so concurrent callers on one session
+    * can't capture each other's temporary value as the "batch"
+    * setting. Every run-to-completion path goes through here so the
+    * state-sizing rule lives in exactly one place.
+    */
+  private def drain(
+      spark: SparkSession,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
     val q = spark.synchronized {
       val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-      try {
-        agg.writeStream
-          .outputMode(mode)
-          .format("memory")
-          .queryName(queryName)
-          .start() // plan (and state partitioning) resolves here
-      } finally spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
+      try writer.start() // plan (and state partitioning) resolves here
+      finally spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
     }
     try q.processAllAvailable()
     finally q.stop()
+  }
+
+  private def runToCompletion(
+      agg: DataFrame, mode: String, queryName: String): DataFrame = {
+    val spark = agg.sparkSession
+    drain(spark,
+      agg.writeStream.outputMode(mode).format("memory").queryName(queryName))
     spark.table(queryName)
   }
 }
