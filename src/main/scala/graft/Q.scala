@@ -40,5 +40,6 @@ object Q {
       queries.CorpusOps2.all ++
       queries.SearchOps.all ++
       queries.Relational5.all ++
-      queries.GraphOps.all
+      queries.GraphOps.all ++
+      queries.PipelineOps2.all
 }
