@@ -41,5 +41,6 @@ object Q {
       queries.SearchOps.all ++
       queries.Relational5.all ++
       queries.GraphOps.all ++
-      queries.PipelineOps2.all
+      queries.PipelineOps2.all ++
+      queries.Analytics2.all
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Dist
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 behavioral/eval analytics wave: event-transition matrix
+  * (sequence mining), weighted median on distributed CDFs, and a
+  * score-decile lift table — each reusing the scale utilities
+  * (per-user windows, Dist.globalCumsumBy, Dist.globalRank) instead
+  * of single-partition shortcuts.
+  */
+object Analytics2 {
+
+  /** First-order transition matrix over per-user event sequences:
+    * (from_type → to_type) counts with share-per-source. The lag
+    * window partitions by user — thousands of small partitions, the
+    * shape that scales — and the matrix is |types|² rows regardless
+    * of corpus size.
+    */
+  val q152 = Q(
+    "q152_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val bySrc = Window.partitionBy("from_type")
+      trans
+        .withColumn("share", round(col("n") / sum("n").over(bySrc), 5))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n / sum(n) OVER (PARTITION BY from_type), 5) AS share
+      |FROM trans ORDER BY from_type, to_type""".stripMargin))
+
+  /** Weighted median: the order price at which the quantity-weighted
+    * CDF crosses half the total weight, per order status. The CDF is
+    * a Dist.globalCumsumBy range-bucketed cumsum — no single-partition
+    * window — grouped to distinct (status, price) points first so the
+    * cumsum's total order is unique. Integer weights keep every
+    * comparison exact.
+    */
+  val q153 = Q(
+    "q153_weighted_median",
+    (s, dir) => {
+      val g = Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      // one cumsum per status: statuses are few, so the range
+      // bucketing runs once with (st, p) as the total order and the
+      // per-status totals broadcast back
+      val cum = Dist.globalCumsumBy(g, Seq(col("st"), col("p")), Seq("w"), 32)
+      // the cumsum is GLOBAL over (st, p); subtracting each status's
+      // exclusive prefix (total weight of statuses ordered before it)
+      // turns it into a per-status CDF — the offsets table is
+      // O(#groups) rows, windowed trivially and broadcast back
+      val wSt = Window.orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = g.groupBy("st").agg(sum("w").as("tw"))
+        .withColumn("off", coalesce(sum("tw").over(wSt), lit(0L)))
+        .select(col("st").as("st2"), col("tw"), col("off"))
+      cum.join(broadcast(tot), col("st") === col("st2"))
+        .filter((col("w_cum") - col("off")) * 2 >= col("tw"))
+        .groupBy(col("st").as("o_orderstatus"))
+        .agg(min("p").as("weighted_median_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH g AS (
+      |  SELECT o_orderstatus AS st, o_totalprice AS p,
+      |    CAST(sum(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT st, p, w,
+      |    sum(w) OVER (PARTITION BY st ORDER BY p) AS cw,
+      |    sum(w) OVER (PARTITION BY st) AS tw
+      |  FROM g)
+      |SELECT st AS o_orderstatus, min(p) AS weighted_median_price
+      |FROM c WHERE cw * 2 >= tw
+      |GROUP BY st ORDER BY o_orderstatus""".stripMargin))
+
+  /** Score-decile lift table (the model-eval report): customers
+    * ranked by account balance, cut into 10 equal-depth bins WITHOUT
+    * ntile's single-partition window — Dist.globalRank supplies the
+    * total order, the bin is integer rank math. Outcome proxy:
+    * customer placed an above-median-priced order.
+    */
+  val q154 = Q(
+    "q154_decile_lift",
+    (s, dir) => {
+      val buyers = Tables.t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey")).distinct()
+        .withColumn("pos", lit(1L))
+      val scored = Tables.t(s, dir, "customer")
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("pos"), lit(0L)).as("pos"))
+      val n = scored.count()
+      val ranked = Dist.globalRank(
+        scored, Seq(col("c_acctbal").desc, col("c_custkey")), "r", 16)
+      ranked
+        .withColumn("decile", floor(((col("r") - 1) * 10) / n).cast("int") + 1)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("pos").as("n_pos"),
+          round(avg("pos"), 5).as("rate"))
+        .orderBy("decile")
+    },
+    Some("""WITH buyers AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000),
+      |scored AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS pos
+      |  FROM customer LEFT JOIN buyers ON c_custkey = o_custkey),
+      |ranked AS (
+      |  SELECT pos,
+      |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS r,
+      |    count(*) OVER () AS n
+      |  FROM scored)
+      |SELECT CAST(floor((r - 1) * 10 / n) AS INTEGER) + 1 AS decile,
+      |  count(*) AS n_cust, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  round(avg(pos), 5) AS rate
+      |FROM ranked GROUP BY 1 ORDER BY decile""".stripMargin))
+
+  val all: Vector[Q] = Vector(q152, q153, q154)
+}
