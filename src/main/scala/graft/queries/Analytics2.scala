@@ -138,5 +138,62 @@ object Analytics2 {
       |  round(avg(pos), 5) AS rate
       |FROM ranked GROUP BY 1 ORDER BY decile""".stripMargin))
 
-  val all: Vector[Q] = Vector(q152, q153, q154)
+  /** 2-D histogram (heat-map binning): order count and value by
+    * (price bucket × order year) — width_bucket on one axis, calendar
+    * on the other. One aggregate, grid-sized output.
+    */
+  val q155 = Q(
+    "q155_histogram_2d",
+    (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .select(
+          // equi-width buckets of 50k over [0, 500k) — plain floor
+          // math (DuckDB has no width_bucket), clamped at the top
+          least(floor(col("o_totalprice") / 50000) + 1, lit(10L)).as("price_bin"),
+          year(col("o_orderdate")).as("yr"),
+          col("o_totalprice"))
+        .groupBy("price_bin", "yr")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("price_bin", "yr")
+    },
+    Some("""SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 10)
+      |    AS price_bin,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY price_bin, yr""".stripMargin))
+
+  /** Group-mean imputation — the feature-prep op for missing values:
+    * negative account balances are treated as sentinel-missing and
+    * replaced by their nation's mean over the VALID values. The means
+    * table is one aggregate broadcast back; rows keep a flag so
+    * downstream can weight imputed features differently.
+    */
+  val q156 = Q(
+    "q156_impute_group_mean",
+    (s, dir) => {
+      val c = Tables.t(s, dir, "customer")
+        .withColumn("bal", when(col("c_acctbal") >= 0, col("c_acctbal")))
+      val means = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(round(avg("bal"), 4).as("mu"))
+      c.join(broadcast(means), col("c_nationkey") === col("nk"))
+        .select(
+          col("c_custkey"),
+          col("bal").isNull.as("imputed"),
+          round(coalesce(col("bal"), col("mu")), 4).as("bal_filled"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal
+      |  FROM customer),
+      |means AS (
+      |  SELECT c_nationkey, round(avg(bal), 4) AS mu
+      |  FROM c GROUP BY 1)
+      |SELECT c_custkey, bal IS NULL AS imputed,
+      |  round(coalesce(bal, mu), 4) AS bal_filled
+      |FROM c JOIN means USING (c_nationkey)
+      |ORDER BY c_custkey""".stripMargin))
+
+  val all: Vector[Q] = Vector(q152, q153, q154, q155, q156)
 }
