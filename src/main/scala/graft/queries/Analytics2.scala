@@ -195,5 +195,71 @@ object Analytics2 {
       |FROM c JOIN means USING (c_nationkey)
       |ORDER BY c_custkey""".stripMargin))
 
-  val all: Vector[Q] = Vector(q152, q153, q154, q155, q156)
+  /** First-touch attribution: each purchase is credited to the FIRST
+    * preceding non-purchase event by the same user (unbounded
+    * running first_value per user — the as-of family's attribution
+    * variant), then credited purchases roll up by source type.
+    */
+  val q157 = Q(
+    "q157_first_touch_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("touch",
+          first(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("first_touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("credited_value"))
+        .orderBy("first_touch")
+    },
+    Some("""WITH touched AS (
+      |  SELECT event_type, value,
+      |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'none') AS first_touch,
+      |  count(*) AS n_purchases, round(sum(value), 2) AS credited_value
+      |FROM touched WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY first_touch""".stripMargin))
+
+  /** Fact-reconciliation report: o_totalprice against the order's
+    * lineitem extended-price sum — the cross-table consistency check
+    * a warehouse runs between a header table and its detail table.
+    * One join + one aggregate; the verdict buckets the relative gap.
+    */
+  val q158 = Q(
+    "q158_order_reconciliation",
+    (s, dir) => {
+      val detail = Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("detail_total"))
+      Tables.t(s, dir, "orders")
+        .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          when(col("detail_total").isNull, "no_lineitems")
+            .when(abs(col("detail_total") - col("o_totalprice"))
+              / col("o_totalprice") <= 0.5, "within_50pct")
+            .otherwise("diverged").as("verdict"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("verdict")
+    },
+    Some("""WITH detail AS (
+      |  SELECT l_orderkey, sum(l_extendedprice) AS detail_total
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CASE
+      |    WHEN detail_total IS NULL THEN 'no_lineitems'
+      |    WHEN abs(detail_total - o_totalprice) / o_totalprice <= 0.5
+      |      THEN 'within_50pct'
+      |    ELSE 'diverged' END AS verdict,
+      |  count(*) AS n_orders
+      |FROM orders LEFT JOIN detail ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY verdict""".stripMargin))
+
+  val all: Vector[Q] = Vector(q152, q153, q154, q155, q156, q157, q158)
 }

@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpec {
     assert(emitted <= b.count())
   }
 
+  test("multi-batch file stream (maxFilesPerTrigger=1) equals the single-batch result") {
+    import org.apache.spark.sql.functions._
+    // split the events fixture into 4 files so the file source is
+    // FORCED through 4 micro-batches — windowed state must merge
+    // partial aggregates across batches, not just within one
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbatch").toString
+    val src = Tables.events(spark, sf())
+    src.repartition(4).write.parquet(s"$dir/events")
+    val schema = spark.read.parquet(s"$dir/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("mbatch_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      "the source must actually deliver multiple non-empty micro-batches")
+    val got = spark.table("mbatch_spec")
+      .select(unix_timestamp(col("window.start")).as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+    val want = batch("q34_tumbling_window")
+      .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "4-batch incremental aggregation must equal the batch answer")
+  }
+
   test("streaming content dedup of a document stream matches batch exact dedup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
