@@ -46,6 +46,10 @@ object ConnectedComponents {
       .union(edges.select(col("b").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // no edges → no nodes → the convergence sums below would be NULL
+    // (sum over zero rows) and the decimal compare would NPE
+    if (nodes.head(1).isEmpty)
+      return nodes.select(col("node"), col("node").as("component"))
     // Size the loop's shuffle partitions to the GRAPH, not the
     // session: every round pays scheduling for 3 shuffles × N tasks,
     // and a label table of a few thousand rows under the session's
@@ -116,12 +120,15 @@ object ConnectedComponents {
       // the convergence aggregate) dominates at small label tables, so
       // checking convergence every other hop nearly halves wall time;
       // the at-most-one wasted extra hop after the true fixpoint is a
-      // no-op join on an already-stable table
-      val next = hop(hop(lbl)).persist()
+      // no-op join on an already-stable table. The second hop is
+      // skipped when it would exceed maxIter, so odd bounds are
+      // honored exactly.
+      val twoHops = iter + 1 < maxIter
+      val next = (if (twoHops) hop(hop(lbl)) else hop(lbl)).persist()
       val s = next.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
       done = s.compareTo(prevSum) == 0
       prevSum = s
-      iter += 2
+      iter += (if (twoHops) 2 else 1)
       if (iter % 4 == 0 && !done) {
         // truncate lineage; the checkpoint replaces the cache chain
         lbl = next.localCheckpoint(true)

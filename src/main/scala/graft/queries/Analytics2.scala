@@ -71,7 +71,9 @@ object Analytics2 {
       // O(#groups) rows, windowed trivially and broadcast back
       val wSt = Window.orderBy("st")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val tot = g.groupBy("st").agg(sum("w").as("tw"))
+      // totals come from the cumsum's (checkpointed) frame, not a
+      // second lineitem⋈orders scan+aggregate
+      val tot = cum.groupBy("st").agg(sum("w").as("tw"))
         .withColumn("off", coalesce(sum("tw").over(wSt), lit(0L)))
         .select(col("st").as("st2"), col("tw"), col("off"))
       cum.join(broadcast(tot), col("st") === col("st2"))
@@ -111,9 +113,11 @@ object Analytics2 {
         .join(buyers, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_acctbal"),
           coalesce(col("pos"), lit(0L)).as("pos"))
-      val n = scored.count()
       val ranked = Dist.globalRank(
         scored, Seq(col("c_acctbal").desc, col("c_custkey")), "r", 16)
+      // N = max rank, read off globalRank's pinned frame — a separate
+      // scored.count() would re-execute the customer⋈orders join
+      val n = ranked.agg(max("r")).head.getLong(0)
       ranked
         .withColumn("decile", floor(((col("r") - 1) * 10) / n).cast("int") + 1)
         .groupBy("decile")

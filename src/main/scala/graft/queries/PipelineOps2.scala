@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object PipelineOps2 {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docs(s, dir) // single-row-group spread, documented there
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)

@@ -17,11 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object SearchOps {
 
-  /** Single-row-group fixture → unsplittable; spread before per-row
-    * heavy compute (same note as TextOps.docs).
-    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docs(s, dir) // single-row-group spread, documented there
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)

@@ -35,6 +35,12 @@ class GraphDistSpec extends SparkSpec {
     assert(got == (5L to 9L).map(_ -> 5L).toMap)
   }
 
+  test("connected components: empty edge list returns an empty table, not an NPE") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.run(edges).count() == 0)
+  }
+
   test("globalCumsum equals the single-partition window result") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")
