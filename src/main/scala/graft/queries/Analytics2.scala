@@ -265,5 +265,118 @@ object Analytics2 {
       |FROM orders LEFT JOIN detail ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY verdict""".stripMargin))
 
-  val all: Vector[Q] = Vector(q152, q153, q154, q155, q156, q157, q158)
+  /** Rolling 7-day active users (WAU per day) — the distinct-count-
+    * over-sliding-window op a dashboard needs, WITHOUT a distinct
+    * window aggregate (Spark has none) and WITHOUT a range join (a
+    * nested loop at scale): each deduped (user, day) activity row
+    * explodes to the 7 report days it covers, then one equi-grouped
+    * count-distinct per day — shuffle volume is exactly 7× the
+    * deduped activity, the fixed fan-out a sliding window costs.
+    * Report days are restricted to days with actual activity via a
+    * broadcast-able semi join. Epoch-day integer math keeps the
+    * window arithmetic engine-identical.
+    */
+  val q159 = Q(
+    "q159_rolling_wau",
+    (s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .distinct()
+      val days = act.select(col("day").as("d0")).distinct()
+      act.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .join(days, col("d") === col("d0"), "left_semi")
+        .groupBy("d")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("d")
+    },
+    Some("""WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |cov AS (
+      |  SELECT user_id, unnest(generate_series(day, day + 6)) AS d
+      |  FROM act)
+      |SELECT d, count(DISTINCT user_id) AS wau
+      |FROM cov WHERE d IN (SELECT day FROM act)
+      |GROUP BY d ORDER BY d""".stripMargin))
+
+  /** Market-basket co-purchase pairs: parts bought together on one
+    * order, top pairs by support. The pair join is blocked by
+    * orderkey — volume is Σ order_linesᵢ², bounded by the small
+    * per-order line count, never |lineitem|². Counts are exact ints;
+    * the top-k cut needs no rounding.
+    */
+  val q160 = Q(
+    "q160_basket_pairs",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+          col("ok") === col("ok2") && col("pk") < col("pk2"))
+        .groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin))
+
+  /** RFM segmentation: per customer, recency (days since last
+    * order), frequency (order count), monetary (total spend), each
+    * cut at its corpus median into Hi/Lo — eight segment cells with
+    * counts. Medians are exact singletons computed once and
+    * broadcast; the boundary values sit on real data points so the
+    * Hi/Lo comparison is exact, not float-fuzzy.
+    */
+  val q161 = Q(
+    "q161_rfm_segments",
+    (s, dir) => {
+      val o = Tables.t(s, dir, "orders")
+      val asOf = o.agg(max(unix_timestamp(col("o_orderdate"))).as("t"))
+      val rfm = o.groupBy("o_custkey")
+        .agg(
+          max(unix_timestamp(col("o_orderdate"))).as("last_t"),
+          count(lit(1)).as("f"),
+          round(sum("o_totalprice"), 2).as("m"))
+        .crossJoin(broadcast(asOf))
+        .select(col("o_custkey"),
+          floor((col("t") - col("last_t")) / 86400).as("r"),
+          col("f"), col("m"))
+      val med = rfm.agg(
+        median(col("r")).as("mr"), median(col("f")).as("mf"),
+        median(col("m")).as("mm"))
+      rfm.crossJoin(broadcast(med))
+        .groupBy(
+          when(col("r") <= col("mr"), "recentHi").otherwise("recentLo").as("recency"),
+          when(col("f") > col("mf"), "freqHi").otherwise("freqLo").as("frequency"),
+          when(col("m") > col("mm"), "monHi").otherwise("monLo").as("monetary"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("recency", "frequency", "monetary")
+    },
+    Some("""WITH rfm AS (
+      |  SELECT o_custkey,
+      |    CAST(floor(((SELECT max(epoch(o_orderdate)) FROM orders)
+      |      - max(epoch(o_orderdate))) / 86400) AS BIGINT) AS r,
+      |    count(*) AS f,
+      |    round(sum(o_totalprice), 2) AS m
+      |  FROM orders GROUP BY 1),
+      |med AS (SELECT median(r) AS mr, median(f) AS mf, median(m) AS mm FROM rfm)
+      |SELECT
+      |  CASE WHEN r <= mr THEN 'recentHi' ELSE 'recentLo' END AS recency,
+      |  CASE WHEN f > mf THEN 'freqHi' ELSE 'freqLo' END AS frequency,
+      |  CASE WHEN m > mm THEN 'monHi' ELSE 'monLo' END AS monetary,
+      |  count(*) AS n_customers
+      |FROM rfm CROSS JOIN med
+      |GROUP BY 1, 2, 3
+      |ORDER BY recency, frequency, monetary""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }
