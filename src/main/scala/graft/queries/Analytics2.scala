@@ -377,6 +377,46 @@ object Analytics2 {
       |GROUP BY 1, 2, 3
       |ORDER BY recency, frequency, monetary""".stripMargin))
 
+  /** Triangle enumeration on the co-purchase graph (support ≥ 2
+    * edges from q160's basket pairs): the canonical a<b<c edge-edge-
+    * edge join, the building block of clustering-coefficient and
+    * community metrics. The id ordering makes each triangle appear
+    * exactly once AND caps the join fan-out (every edge stored once,
+    * smallest endpoint first — the standard power-law mitigation).
+    */
+  val q162 = Q(
+    "q162_triangle_count",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+          col("ok") === col("ok2") && col("pk") < col("pk2"))
+        .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(true) // three self-references below
+      e.join(e.select(col("pa").as("qa"), col("pb").as("qb")),
+          col("pb") === col("qa"))
+        .join(e.select(col("pa").as("ra"), col("pb").as("rb")),
+          col("ra") === col("pa") && col("rb") === col("qb"), "left_semi")
+        .select(col("pa").as("part_a"), col("pb").as("part_b"),
+          col("qb").as("part_c"))
+        .orderBy("part_a", "part_b", "part_c")
+    },
+    Some("""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+      |FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+      |WHERE EXISTS (SELECT 1 FROM e e3
+      |              WHERE e3.pa = e1.pa AND e3.pb = e2.pb)
+      |ORDER BY part_a, part_b, part_c""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 }
