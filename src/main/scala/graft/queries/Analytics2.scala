@@ -417,6 +417,139 @@ object Analytics2 {
       |              WHERE e3.pa = e1.pa AND e3.pb = e2.pb)
       |ORDER BY part_a, part_b, part_c""".stripMargin))
 
+  /** Local clustering coefficient per part over the support≥2
+    * co-purchase graph: closed wedges / possible wedges. Triangle
+    * membership is counted from the q162 enumeration (each triangle
+    * credits all three corners), degree from the symmetrized edge
+    * list; both are aggregates over the same pinned edge table.
+    */
+  val q163 = Q(
+    "q163_clustering_coefficient",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+          col("ok") === col("ok2") && col("pk") < col("pk2"))
+        .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(true)
+      val tri = e.join(e.select(col("pa").as("qa"), col("pb").as("qb")),
+          col("pb") === col("qa"))
+        .join(e.select(col("pa").as("ra"), col("pb").as("rb")),
+          col("ra") === col("pa") && col("rb") === col("qb"), "left_semi")
+        .select(col("pa").as("x"), col("pb").as("y"), col("qb").as("z"))
+      val triCnt = tri.select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      val deg = e.select(col("pa").as("part"))
+        .union(e.select(col("pb").as("part")))
+        .groupBy("part").agg(count(lit(1)).as("deg"))
+      deg.join(triCnt, "part")
+        .filter(col("deg") >= 2)
+        .select(col("part"), col("deg"), col("n_tri"),
+          round(col("n_tri") * 2.0 / (col("deg") * (col("deg") - 1)), 5)
+            .as("clustering"))
+        .orderBy(col("clustering").desc, col("part"))
+        .limit(25)
+    },
+    Some("""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS pa, b.pk AS pb
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (
+      |  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+      |  WHERE EXISTS (SELECT 1 FROM e e3
+      |                WHERE e3.pa = e1.pa AND e3.pb = e2.pb)),
+      |tc AS (
+      |  SELECT part, count(*) AS n_tri FROM (
+      |    SELECT x AS part FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY 1),
+      |deg AS (
+      |  SELECT part, count(*) AS deg FROM (
+      |    SELECT pa AS part FROM e UNION ALL SELECT pb FROM e)
+      |  GROUP BY 1)
+      |SELECT part, deg, n_tri,
+      |  round(n_tri * 2.0 / (deg * (deg - 1)), 5) AS clustering
+      |FROM deg JOIN tc USING (part)
+      |WHERE deg >= 2
+      |ORDER BY clustering DESC, part LIMIT 25""".stripMargin))
+
+  /** Item-item collaborative similarity: part pairs ranked by the
+    * Jaccard of their order sets — n_ab / (n_a + n_b − n_ab) from the
+    * blocked pair counts plus per-part order counts (broadcast-able
+    * side table). The recommender-system building block, exact, with
+    * the similarity rounded before the cut.
+    */
+  val q164 = Q(
+    "q164_item_similarity",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+          col("ok") === col("ok2") && col("pk") < col("pk2"))
+        .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      val cnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(cnt.select(col("pk").as("ka"), col("n").as("na")), col("pa") === col("ka"))
+        .join(cnt.select(col("pk").as("kb"), col("n").as("nb")), col("pb") === col("kb"))
+        .select(col("pa").as("part_a"), col("pb").as("part_b"), col("nab"),
+          round(col("nab").cast("double") / (col("na") + col("nb") - col("nab")), 5)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS nab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |cnt AS (SELECT pk, count(*) AS n FROM li GROUP BY 1)
+      |SELECT pa AS part_a, pb AS part_b, nab,
+      |  round(CAST(nab AS DOUBLE) / (ca.n + cb.n - nab), 5) AS jaccard
+      |FROM pairs JOIN cnt ca ON pa = ca.pk JOIN cnt cb ON pb = cb.pk
+      |ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin))
+
+  /** Revenue anomaly days: daily totals more than 2 corpus standard
+    * deviations from the mean. The daily series is O(days); its
+    * mean/std is one tiny aggregate broadcast back — monitoring-alert
+    * shape. The z-score is rounded before the threshold compare so
+    * the cut is reproducible cross-engine.
+    */
+  val q165 = Q(
+    "q165_anomaly_days",
+    (s, dir) => {
+      val daily = Tables.t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum("o_totalprice").as("rev"))
+      val stats = daily.agg(avg("rev").as("mu"), stddev_samp("rev").as("sd"))
+      daily.crossJoin(broadcast(stats))
+        .withColumn("z", round((col("rev") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) > 2)
+        .select(col("day"), round(col("rev"), 2).as("rev"), col("z"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |stats AS (SELECT avg(rev) AS mu, stddev_samp(rev) AS sd FROM daily)
+      |SELECT day, round(rev, 2) AS rev,
+      |  round((rev - mu) / sd, 4) AS z
+      |FROM daily CROSS JOIN stats
+      |WHERE abs(round((rev - mu) / sd, 4)) > 2
+      |ORDER BY day""".stripMargin))
+
   val all: Vector[Q] =
-    Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
+      q162, q163, q164, q165)
 }
