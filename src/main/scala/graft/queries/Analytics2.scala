@@ -549,7 +549,100 @@ object Analytics2 {
       |WHERE abs(round((rev - mu) / sd, 4)) > 2
       |ORDER BY day""".stripMargin))
 
+  /** Sessionized conversion: the share of 30-minute sessions
+    * containing a view that also convert (a purchase AFTER the first
+    * view, same session). Sessions are gaps-and-islands per user
+    * (cumulative new-session flags over the user window — q57's SQL
+    * twin), so the whole query is two per-user window passes and one
+    * aggregate; no session ever crosses users, the partition key.
+    */
+  val q166 = Q(
+    "q166_sessionized_conversion",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("new_sess",
+          when(col("t") - lag("t", 1).over(w) >= 1800 ||
+            lag("t", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_sess").over(ws))
+      sess.groupBy("user_id", "sid")
+        .agg(
+          min(when(col("event_type") === "view", col("t"))).as("first_view"),
+          max(when(col("event_type") === "purchase", col("t"))).as("last_purchase"))
+        .filter(col("first_view").isNotNull)
+        .agg(
+          count(lit(1)).as("sessions_with_view"),
+          sum(when(col("last_purchase") > col("first_view"), 1L).otherwise(0L))
+            .as("converted"),
+          round(avg(when(col("last_purchase") > col("first_view"), 1.0)
+            .otherwise(0.0)), 5).as("conversion_rate"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |    ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, t, ts,
+      |    CASE WHEN t - lag(t) OVER w >= 1800 OR lag(t) OVER w IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, t,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |per AS (
+      |  SELECT user_id, sid,
+      |    min(CASE WHEN event_type = 'view' THEN t END) AS first_view,
+      |    max(CASE WHEN event_type = 'purchase' THEN t END) AS last_purchase
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT count(*) AS sessions_with_view,
+      |  CAST(sum(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS converted,
+      |  round(avg(CASE WHEN last_purchase > first_view THEN 1.0 ELSE 0.0 END), 5)
+      |    AS conversion_rate
+      |FROM per WHERE first_view IS NOT NULL""".stripMargin))
+
+  /** Gini coefficient of customer lifetime spend — the inequality
+    * scalar a marketplace report carries. Needs every customer's
+    * ascending spend rank: Dist.globalRank again (range-bucketed, no
+    * single-partition window), then the rank-weighted closed form
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. Spend is rounded to cents
+    * BEFORE ranking so rank order (and thus the weighted sum) is
+    * identical cross-engine.
+    */
+  val q167 = Q(
+    "q167_spend_gini",
+    (s, dir) => {
+      val spend = Tables.t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("x"))
+      val ranked = Dist.globalRank(
+        spend, Seq(col("x"), col("o_custkey")), "i", 16)
+      ranked.agg(
+        count(lit(1)).as("n_customers"),
+        round(
+          (lit(2.0) * sum(col("i") * col("x"))) /
+            (count(lit(1)) * sum(col("x"))) -
+            (count(lit(1)) + 1).cast("double") / count(lit(1)),
+          6).as("gini"))
+    },
+    Some("""WITH spend AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend)
+      |SELECT count(*) AS n_customers,
+      |  round(2.0 * sum(i * x) / (count(*) * sum(x))
+      |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+      |FROM ranked""".stripMargin))
+
   val all: Vector[Q] =
     Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165)
+      q162, q163, q164, q165, q166, q167)
 }
