@@ -42,5 +42,6 @@ object Q {
       queries.Relational5.all ++
       queries.GraphOps.all ++
       queries.PipelineOps2.all ++
-      queries.Analytics2.all
+      queries.Analytics2.all ++
+      queries.Scalars2.all
 }
