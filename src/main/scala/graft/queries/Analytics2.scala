@@ -642,7 +642,112 @@ object Analytics2 {
       |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
       |FROM ranked""".stripMargin))
 
+  /** FORWARD as-of: each purchase joined to the FIRST error at or
+    * after it for the same user (q37/q92 cover the backward
+    * direction). One merged per-user window pass — first_value
+    * IGNORE NULLS over the following frame — instead of a join:
+    * the union-and-window form both engines share exactly.
+    */
+  val q171 = Q(
+    "q171_asof_forward",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("next_error_id",
+          first(when(col("event_type") === "error", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("next_error_id"))
+        .orderBy("p_id")
+    },
+    Some("""SELECT p_id, user_id, next_error_id FROM (
+      |  SELECT event_id AS p_id, user_id, event_type,
+      |    first_value(CASE WHEN event_type = 'error' THEN event_id END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS next_error_id
+      |  FROM events WHERE event_type IN ('purchase', 'error'))
+      |WHERE event_type = 'purchase'
+      |ORDER BY p_id""".stripMargin))
+
+  /** Day-of-week seasonality index: average daily revenue per weekday
+    * relative to the overall daily average. Weekday comes from
+    * explicit epoch-day modulo (1970-01-01 was a Thursday) — calendar
+    * functions disagree across engines on week start, integer math
+    * doesn't.
+    */
+  val q172 = Q(
+    "q172_weekday_seasonality",
+    (s, dir) => {
+      val daily = Tables.t(s, dir, "orders")
+        .groupBy(floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"))
+        .agg(sum("o_totalprice").as("rev"))
+      val overall = daily.agg(avg("rev").as("mu"))
+      daily
+        .withColumn("dow", pmod(col("day") + 4, lit(7))) // 0 = Sunday
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), avg("rev").as("avg_rev"))
+        .crossJoin(broadcast(overall))
+        .select(col("dow"), col("n_days"),
+          round(col("avg_rev"), 2).as("avg_rev"),
+          round(col("avg_rev") / col("mu"), 5).as("index"))
+        .orderBy("dow")
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+      |    sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |o AS (SELECT avg(rev) AS mu FROM daily)
+      |SELECT (day + 4) % 7 AS dow, count(*) AS n_days,
+      |  round(avg(rev), 2) AS avg_rev,
+      |  round(avg(rev) / mu, 5) AS index
+      |FROM daily CROSS JOIN o
+      |GROUP BY 1, mu ORDER BY dow""".stripMargin))
+
+  /** Conversion-latency distribution: minutes from each user's signup
+    * to their first purchase — min/median/p90 over per-user
+    * latencies. Two tiny aggregates after a per-user rollup; the
+    * latencies are exact integer minutes so the quantiles interpolate
+    * identically cross-engine.
+    */
+  val q173 = Q(
+    "q173_time_to_convert",
+    (s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", unix_timestamp(col("ts"))))
+            .as("s0"),
+          min(when(col("event_type") === "purchase", unix_timestamp(col("ts"))))
+            .as("p0"))
+        .filter(col("s0").isNotNull && col("p0").isNotNull &&
+          col("p0") >= col("s0"))
+        .select(floor((col("p0") - col("s0")) / 60).as("mins"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        min("mins").as("min_mins"),
+        round(median(col("mins")), 1).as("median_mins"),
+        round(expr("percentile(mins, 0.9)"), 1).as("p90_mins"))
+    },
+    Some("""WITH per AS (
+      |  SELECT CAST(floor((p0 - s0) / 60) AS BIGINT) AS mins FROM (
+      |    SELECT
+      |      min(CASE WHEN event_type = 'signup'
+      |        THEN floor(epoch(ts)) END) AS s0,
+      |      min(CASE WHEN event_type = 'purchase'
+      |        THEN floor(epoch(ts)) END) AS p0
+      |    FROM events GROUP BY user_id)
+      |  WHERE s0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= s0)
+      |SELECT count(*) AS n_users, min(mins) AS min_mins,
+      |  round(median(mins), 1) AS median_mins,
+      |  round(quantile_cont(mins, 0.9), 1) AS p90_mins
+      |FROM per""".stripMargin))
+
   val all: Vector[Q] =
     Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167)
+      q162, q163, q164, q165, q166, q167, q171, q172, q173)
 }
