@@ -747,7 +747,50 @@ object Analytics2 {
       |  round(quantile_cont(mins, 0.9), 1) AS p90_mins
       |FROM per""".stripMargin))
 
+  /** Hierarchy percent-of-parent: each nation's revenue share within
+    * its region and the region's share of the grand total — the
+    * drill-down ratio pair every BI rollup carries. Both windows run
+    * over the nation-level AGGREGATE (O(nations) rows), so the
+    * "global" window is free; the heavy lifting happened in the
+    * broadcast-dim join + groupBy.
+    */
+  val q176 = Q(
+    "q176_hierarchy_shares",
+    (s, dir) => {
+      val nat = Tables.t(s, dir, "orders")
+        .join(broadcast(Tables.t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum("o_totalprice").as("rev"))
+      val wRegion = Window.partitionBy("r_name")
+      val wAll = Window.partitionBy()
+      nat
+        .withColumn("share_of_region",
+          round(col("rev") / sum("rev").over(wRegion), 6))
+        .withColumn("region_share",
+          round(sum("rev").over(wRegion) / sum("rev").over(wAll), 6))
+        .select(col("r_name"), col("n_name"), round(col("rev"), 2).as("rev"),
+          col("share_of_region"), col("region_share"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""WITH nat AS (
+      |  SELECT r_name, n_name, sum(o_totalprice) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, round(rev, 2) AS rev,
+      |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_of_region,
+      |  round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6)
+      |    AS region_share
+      |FROM nat ORDER BY r_name, n_name""".stripMargin))
+
   val all: Vector[Q] =
     Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167, q171, q172, q173)
+      q162, q163, q164, q165, q166, q167, q171, q172, q173, q176)
 }
