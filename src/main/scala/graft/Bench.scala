@@ -42,6 +42,10 @@ object Bench {
 
     // Best of 2 runs per query: single-JVM timings on a shared host
     // carry scheduler/GC jitter; the min reflects steady-state cost.
+    // The per-query relative spread (max/min - 1) is emitted alongside
+    // so co-tenant noise is distinguishable from plan regression in
+    // the artifact itself: a slow query with a large spread was
+    // interfered with; a slow query with a tight spread got slower.
     val names = Q.registry.filter(_.bench).map(_.name).sorted
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { name =>
@@ -56,13 +60,16 @@ object Bench {
       }
       // -1 sentinel: a crashed query must not report its (near-zero)
       // failure time as if it ran.
-      name -> (if (failed.contains(name)) -1.0 else times.min)
+      if (failed.contains(name)) (name, -1.0, -1.0)
+      else (name, times.min, math.rint((times.max / times.min - 1) * 1000) / 1000)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

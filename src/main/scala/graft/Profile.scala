@@ -12,8 +12,13 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")
+    // a bad or non-positive --runs would otherwise time ZERO runs per
+    // query and print an empty profile with no hint why
     val runs = args.collectFirst { case a if a.startsWith("--runs=") =>
-      a.stripPrefix("--runs=").toInt
+      a.stripPrefix("--runs=").toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(s"[prof] ignoring invalid $a (need --runs=N, N>=1); using 2")
+        2
+      }
     }.getOrElse(2)
     val names0 = args.filterNot(_.startsWith("--")).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up: blow the sf0.1 tables up `copies`×
+  * into a DuckDB-oracle-able sf1 set, so the "designed for 100×"
+  * claims become measurements (VERDICT r3 #1).
+  *
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 fixtures/sf1 10"
+  *
+  * Construction: each copy is a key-shifted shard — every key domain
+  * gets `copy × (max_key+1)` added, consistently across fact and
+  * dimension FKs, so join structure, group cardinalities per shard,
+  * and value distributions are EXACTLY those of sf0.1; region/nation
+  * stay fixed (they are fixed at every TPC-H scale). Document text
+  * gets a per-copy suffix token (and n_chars recomputed — the fixture
+  * invariant n_chars = length(text) holds at sf0.1) so near-dup
+  * DENSITY stays constant instead of every doc gaining 9 exact
+  * clones, which would square the LSH candidate space and measure a
+  * degenerate corpus, not scale-up. Embedding vectors repeat
+  * verbatim: ANN queries tie-break deterministically and the oracle
+  * reads the same files. events.ts is written as µs timestamps
+  * (Spark cannot write parquet TIMESTAMP(NANOS); the source values
+  * are µs-aligned, so nothing is truncated).
+  *
+  * Everything is derived from the driver's fixtures with column
+  * functions only — no RNG, no timestamps-of-now — so regenerating
+  * yields byte-identical content and DuckDB can oracle every query
+  * over the result.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("fixtures/sf1")
+    val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def read(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    val c = col("__copy")
+
+    def blow(
+        name: String, offsets: Map[String, Long],
+        post: DataFrame => DataFrame = identity): Unit = {
+      val rep = read(name).crossJoin(
+        spark.range(copies).select(col("id").cast("int").as("__copy")))
+      val shifted = offsets.foldLeft(rep) { case (df, (k, off)) =>
+        df.withColumn(k, col(k) + c.cast("long") * off)
+      }
+      val outDf = post(shifted).drop("__copy")
+      outDf.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name -> ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // fixed-size dims: copied verbatim (their keys are referenced by
+    // every copy — nationkey/regionkey columns are never offset)
+    Seq("region", "nation").foreach { n =>
+      read(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      println(s"[scaleup] $n -> copied verbatim")
+    }
+
+    // offsets are max_key+1 per domain (FIXTURES.md sf0.1 ranges), so
+    // the scaled key space stays contiguous and density-preserving
+    blow("supplier", Map("s_suppkey" -> 1000L))
+    blow("customer", Map("c_custkey" -> 15000L))
+    blow("part", Map("p_partkey" -> 20000L))
+    blow("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
+    blow("lineitem",
+      Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L))
+    blow("events", Map("event_id" -> 100000L, "user_id" -> 1500L),
+      post = df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    // documents.doc_id and embeddings.vec_id share one offset so the
+    // doc_id = vec_id multimodal join keeps exactly its per-shard pairs
+    blow("documents", Map("doc_id" -> 10000L),
+      post = df => df
+        .withColumn("text",
+          when(c === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" copy"), c.cast("string"))))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    blow("embeddings", Map("vec_id" -> 10000L))
+
+    spark.stop()
+  }
+}

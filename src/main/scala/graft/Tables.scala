@@ -20,15 +20,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (legacy flag) and truncate
-    * ns→µs — exactly what DuckDB does when it reads the same file —
-    * so both engines see identical microsecond timestamps.
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver fixtures,
+    * which Spark's vectorized reader rejects. Read it as a long
+    * (legacy flag) and truncate ns→µs — exactly what DuckDB does when
+    * it reads the same file — so both engines see identical
+    * microsecond timestamps. The ScaleUp-generated fixtures store µs
+    * timestamps directly (Spark cannot write NANOS); both layouts are
+    * handled here so every query runs unchanged at any sf.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
   }
 
   /** The documents fixture is a single-row-group parquet file, which

@@ -19,17 +19,31 @@ final class Warehouse(spark: SparkSession) {
     *
     * Like the reference (sanitize at hive_manager.py:140), the raw
     * name is sanitized before DDL — Spark's session catalog rejects
-    * identifiers outside [a-zA-Z0-9_] even when quoted. Returns the
+    * identifiers outside [a-zA-Z0-9_] even when quoted. If the CREATE
+    * still fails (name collision, reserved word), it is retried once
+    * under a generated simple name, and if that also fails the
+    * ORIGINAL error is re-raised — the reference's fallback ladder
+    * (hive_manager.py:194-217), with a deterministic name-hash suffix
+    * instead of wall-clock time so re-runs are stable. Returns the
     * name actually registered.
     */
   def createExternalCsv(
       name: String, path: String,
       header: Boolean = true, delimiter: String = ","): String = {
-    val t = graft.types.Types.sanitizeTableName(name)
-    spark.sql(
-      s"""CREATE TABLE ${q(t)} USING CSV
-         |OPTIONS (path ${lit(path)}, header '$header', sep ${lit(delimiter)})""".stripMargin)
-    t
+    def create(t: String): String = {
+      spark.sql(
+        s"""CREATE TABLE ${q(t)} USING CSV
+           |OPTIONS (path ${lit(path)}, header '$header', sep ${lit(delimiter)})""".stripMargin)
+      t
+    }
+    try create(graft.types.Types.sanitizeTableName(name))
+    catch {
+      case primary: Exception =>
+        val simple = graft.types.Types.sanitizeTableName(
+          "table", Some(java.lang.Integer.toHexString(name.hashCode)))
+        try create(simple)
+        catch { case _: Exception => throw primary }
+    }
   }
 
   /** Escape a string option value for embedding in DDL. */
@@ -51,7 +65,7 @@ final class Warehouse(spark: SparkSession) {
 
   /** DROP TABLE IF EXISTS (hive_manager.py:120-133). */
   def drop(name: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS ${q(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
 
   /** SHOW TABLES (app.py:188). */
   def listTables(): Seq[String] =
@@ -59,11 +73,11 @@ final class Warehouse(spark: SparkSession) {
 
   /** SHOW TABLES LIKE 'x' existence probe (hive_manager.py:105-118). */
   def exists(name: String): Boolean =
-    spark.catalog.tableExists(q(name))
+    spark.catalog.tableExists(ident(name))
 
   /** DESCRIBE (hive_manager.py:396). */
   def describe(name: String): StructType =
-    spark.table(q(name)).schema
+    spark.table(ident(name)).schema
 
   final case class TableInfo(
       name: String, columns: Seq[(String, String)],
@@ -73,8 +87,8 @@ final class Warehouse(spark: SparkSession) {
     * (reference get_table_info, hive_manager.py:386-419).
     */
   def info(name: String): TableInfo = {
-    val df = spark.table(q(name))
-    val external = spark.sql(s"DESCRIBE EXTENDED ${q(name)}")
+    val df = spark.table(ident(name))
+    val external = spark.sql(s"DESCRIBE EXTENDED ${ident(name)}")
       .collect()
       .exists(r => r.getString(0) == "Type" && r.getString(1).contains("EXTERNAL"))
     TableInfo(
@@ -86,7 +100,7 @@ final class Warehouse(spark: SparkSession) {
 
   /** MSCK REPAIR TABLE equivalent (hive_manager.py:334-349). */
   def refresh(name: String): Unit =
-    spark.sql(s"REFRESH TABLE ${q(name)}")
+    spark.sql(s"REFRESH TABLE ${ident(name)}")
 
   /** Hive `ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]`
     * — the (D)-surface DDL that feeds the cost-based optimizer. At
@@ -96,13 +110,14 @@ final class Warehouse(spark: SparkSession) {
     * ingest. Returns the recorded (sizeInBytes, rowCount).
     */
   def analyze(name: String, columns: Boolean = true): (BigInt, Option[BigInt]) = {
-    spark.sql(s"ANALYZE TABLE ${q(name)} COMPUTE STATISTICS" +
+    spark.sql(s"ANALYZE TABLE ${ident(name)} COMPUTE STATISTICS" +
       (if (columns) " FOR ALL COLUMNS" else ""))
     // read what the metastore recorded (plan-level stats only expose
     // rowCount when spark.sql.cbo.enabled is on; the catalog entry is
     // the source of truth either way)
     val stats = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        graft.types.Types.sanitizeTableName(name)))
       .stats
       .getOrElse(throw new IllegalStateException(s"no stats recorded for $name"))
     (stats.sizeInBytes, stats.rowCount)
@@ -133,15 +148,53 @@ final class Warehouse(spark: SparkSession) {
     * `uncache` releases it. Lazy by default — materialized on first
     * scan, like CACHE LAZY TABLE.
     */
-  def cache(name: String): Unit = spark.catalog.cacheTable(q(name))
+  def cache(name: String): Unit = spark.catalog.cacheTable(ident(name))
 
-  def uncache(name: String): Unit = spark.catalog.uncacheTable(q(name))
+  def uncache(name: String): Unit = spark.catalog.uncacheTable(ident(name))
 
-  def isCached(name: String): Boolean = spark.catalog.isCached(q(name))
+  def isCached(name: String): Boolean = spark.catalog.isCached(ident(name))
 
-  /** Health probe: SELECT 1 (app.py:125,134; hive_manager.py:152). */
-  def healthy(): Boolean =
-    spark.sql("SELECT 1").collect().headOption.exists(_.getInt(0) == 1)
+  final case class Health(engine: Boolean, storage: Boolean) {
+    def ok: Boolean = engine && storage
+  }
+
+  /** Two-sided health probe mirroring the reference's `/health`
+    * (app.py:125-147): the engine check is SELECT 1 (the Hive cursor
+    * test), the storage check is warehouse-filesystem reachability
+    * (the S3 list_buckets test). Storage is "reachable" when the
+    * warehouse path or any ancestor exists — a fresh warehouse whose
+    * dir hasn't been created by a first write is healthy; an
+    * unresolvable scheme/host is not.
+    */
+  def health(warehouseDir: Option[String] = None): Health = {
+    val engine =
+      try spark.sql("SELECT 1").collect().headOption.exists(_.getInt(0) == 1)
+      catch { case _: Exception => false }
+    val dir = warehouseDir.getOrElse(spark.conf.get("spark.sql.warehouse.dir"))
+    val storage =
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Iterator.iterate(fs.makeQualified(p))(_.getParent)
+          .takeWhile(_ != null).exists(fs.exists)
+      } catch { case _: Exception => false }
+    Health(engine, storage)
+  }
+
+  /** Health probe: SELECT 1 + storage reachability (app.py:125-147;
+    * hive_manager.py:152).
+    */
+  def healthy(): Boolean = health().ok
 
   private def q(n: String) = graft.types.Types.quote(n)
+
+  /** Resolve a caller-supplied name to the identifier the create
+    * paths registered: the same sanitize rule, so one string (e.g.
+    * "my-table") works across create/cache/drop/info rather than
+    * cacheTable throwing table-not-found on a name that was silently
+    * rewritten at creation. sanitizeTableName is identity on names
+    * that are already valid identifiers.
+    */
+  private def ident(n: String): String =
+    q(graft.types.Types.sanitizeTableName(n))
 }

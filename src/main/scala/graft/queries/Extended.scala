@@ -113,8 +113,15 @@ object Extended {
 
   /** Approximate aggregates for the 100 TB path: HyperLogLog distinct
     * counts and quantile sketches. Sketch internals are
-    * engine-specific, so no cross-engine oracle — rows-only check;
-    * ApproxSpec bounds the error against the exact queries.
+    * engine-specific, so the query is SELF-AUDITING: it computes both
+    * the sketch and the exact aggregate and emits the exact values
+    * plus within-bound verdicts, which DuckDB CAN hash-match (its
+    * side asserts TRUE). Bounds: HLL default rsd is 0.05, verdict
+    * allows 3σ = 15%; percentile_approx with accuracy 10000 has rank
+    * error ≤ 1e-4, verdict allows the exact p45..p55 / p85..p95
+    * envelope — both orders of magnitude looser than observed error
+    * yet tight enough that a broken sketch fails the hash compare.
+    * ApproxSpec additionally bounds the raw sketch error at 5%.
     */
   val q60 = Q(
     "q60_approx_aggregates",
@@ -122,13 +129,31 @@ object Extended {
       Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price_approx"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_suppkey")).as("asu"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
+          expr("percentile(l_quantity, 0.45)").as("qlo"),
+          expr("percentile(l_quantity, 0.55)").as("qhi"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90a"),
+          expr("percentile(l_extendedprice, 0.85)").as("plo"),
+          expr("percentile(l_extendedprice, 0.95)").as("phi"))
+        .select(
+          col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15)
+            .as("parts_ok"),
+          (abs(col("asu") - col("exact_supps")) <= col("exact_supps") * 0.15)
+            .as("supps_ok"),
+          col("p50a").between(col("qlo"), col("qhi")).as("p50_ok"),
+          col("p90a").between(col("plo"), col("phi")).as("p90_ok"))
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** LIMIT/OFFSET pagination (reference P2 row slicing). */
   val q61 = Q(

@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.13 L5 + §3.3 — schema preview on the documents table
-  * and the multimodal binary-column pipeline. q54 keeps Spark's side
-  * in real `binary` (unhex → BinaryType → hex) while the oracle
-  * mirrors the arithmetic in the hex-string domain (DuckDB 1.0 has no
-  * blob substring). q55 is the typed mapPartitions decode stub —
-  * not SQL-expressible, so it takes the driver's rows-only check.
+  * and the multimodal binary-column pipeline. q54/q54b/q55 keep
+  * Spark's side in real `binary` (unhex → BinaryType → hex) while
+  * the oracle mirrors the arithmetic in the hex-string domain
+  * (DuckDB 1.0 has no blob substring). The typed mapPartitions
+  * decode stub lives in MediaPipeline and is spec-pinned equal to
+  * the q55 expression form.
   */
 object MultimodalOps {
 
@@ -52,20 +53,55 @@ object MultimodalOps {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
-  /** Typed decode pipeline (STUB decoder — see MediaPipeline). No
-    * oracle: mapPartitions logic is not SQL-expressible; the driver
-    * records a rows-only check and MediaPipelineSpec pins the values.
+  /** Decode-stub features (byte length, mean byte "brightness",
+    * frame count, header checksum) computed as codegen'd expressions
+    * over the BinaryType payload, with the oracle mirroring the byte
+    * arithmetic in the hex domain (nibble values via instr on the hex
+    * alphabet — DuckDB has no conv). The typed mapPartitions decoder
+    * (MediaPipeline.decodeFeatures — where a real codec would drop
+    * in) is pinned EQUAL to this expression form by
+    * MediaPipelineSpec, so the registry entry is fully oracle-checked
+    * while the Pandas-UDF-shaped plumbing stays covered.
+    *
+    * brightness = bytesum/32 is exact in binary AND ≤6 decimal
+    * digits (1/32 = 0.03125), so round(·,6) is the identity on both
+    * engines — no float-rounding hazard in the hash compare.
     */
   val q55 = Q(
     "q55_media_decode_features",
     (s, dir) => {
-      import s.implicits._
-      val media = MediaPipeline
-        .withPayload(Tables.t(s, dir, "documents"))
-        .as[MediaPipeline.Media]
-      MediaPipeline.decodeFeatures(media).toDF().orderBy("doc_id")
+      val byteSum = (n: Int) => expr(
+        s"""aggregate(sequence(1, $n), 0L,
+           |  (acc, i) -> acc + cast(conv(substring(hexp, i*2-1, 2), 16, 10) AS bigint))""".stripMargin)
+      MediaPipeline.withPayload(Tables.t(s, dir, "documents"))
+        .withColumn("hexp", hex(col("payload")))
+        .withColumn("bytesum", byteSum(32))
+        .select(
+          col("doc_id"), col("kind"),
+          length(col("payload")).as("byte_len"),
+          round(col("bytesum") / 32.0, 6).as("brightness"),
+          (length(col("payload")) / 8).cast("int").as("n_frames"),
+          byteSum(8).as("header_checksum"))
+        .orderBy("doc_id")
     },
-    None)
+    Some("""SELECT doc_id,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |       WHEN n_chars % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(length(hexp) / 2 AS INTEGER) AS byte_len,
+      |  round(list_sum(
+      |    [(instr('0123456789ABCDEF', substr(hexp, i*2-1, 1)) - 1) * 16
+      |     + instr('0123456789ABCDEF', substr(hexp, i*2, 1)) - 1
+      |     for i in generate_series(1, 32)]) / 32.0, 6) AS brightness,
+      |  CAST(length(hexp) / 2 / 8 AS INTEGER) AS n_frames,
+      |  CAST(list_sum(
+      |    [(instr('0123456789ABCDEF', substr(hexp, i*2-1, 1)) - 1) * 16
+      |     + instr('0123456789ABCDEF', substr(hexp, i*2, 1)) - 1
+      |     for i in generate_series(1, 8)]) AS BIGINT) AS header_checksum
+      |FROM (SELECT doc_id, n_chars,
+      |        upper(md5(text) || md5(text || '1')) AS hexp
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin))
 
   /** Frame sampling over the binary payload: treat the 32-byte
     * payload as 4 8-byte "frames" and sample frames 1 and 3 (stride

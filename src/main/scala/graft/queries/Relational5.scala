@@ -353,23 +353,30 @@ object Relational5 {
     "q144_incremental_rollup",
     (s, dir) => {
       val o = Tables.t(s, dir, "orders")
+      // accumulate in decimal(18,2), not double: the incremental path
+      // folds in a different order than the oracle's full scan, and
+      // float partial sums could land on opposite sides of a half-cent
+      // rounding boundary — decimal makes incremental == full exact
+      // rather than coincidental
       def agg(df: org.apache.spark.sql.DataFrame) =
         df.groupBy("o_custkey")
-          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("tot"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
       val standing = agg(o.filter(col("o_orderdate") < "2000-01-01"))
         .select(col("o_custkey").as("k1"), col("n").as("n1"), col("tot").as("t1"))
       val batch = agg(o.filter(col("o_orderdate") >= "2000-01-01"))
         .select(col("o_custkey").as("k2"), col("n").as("n2"), col("tot").as("t2"))
+      val zero = lit(0).cast("decimal(18,2)")
       standing.join(batch, col("k1") === col("k2"), "full_outer")
         .select(
           coalesce(col("k1"), col("k2")).as("o_custkey"),
           (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_orders"),
-          round(coalesce(col("t1"), lit(0.0)) + coalesce(col("t2"), lit(0.0)), 2)
-            .as("total"))
+          round((coalesce(col("t1"), zero) + coalesce(col("t2"), zero))
+            .cast("double"), 2).as("total"))
         .orderBy("o_custkey")
     },
     Some("""SELECT o_custkey, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape:

@@ -13,16 +13,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Read the events fixture as a stream (same ns→µs normalization as
-    * graft.Tables.events).
+  /** Read the events fixture as a stream (same ns→µs normalization
+    * and layout handling as graft.Tables.events: driver fixtures are
+    * one NANOS file inside the sf dir; ScaleUp fixtures are a
+    * directory of µs-timestamp files).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = s"$dir/events.parquet"
+    val raw = spark.read.parquet(src)
+    val reader = spark.readStream.schema(raw.schema)
+    val stream =
+      if (new java.io.File(src).isDirectory) reader.parquet(src)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
   }
 
   /** Tumbling event-time window counts with a watermark, run to
@@ -219,9 +225,9 @@ object EventStreams {
     * shapes) plus explicit event-time TIMERS instead of a single
     * timeout slot, so one processor can track several deadlines per
     * key. Requires the RocksDB state-store provider (the API's
-    * backing-store contract) — statefulSessionsTws sets it on the
-    * session before planning; the provider class is frozen into the
-    * checkpoint like the shuffle-partition count.
+    * backing-store contract) — [[startWithRocksDb]] scopes it to the
+    * start call; the provider class is frozen into the checkpoint
+    * like the shuffle-partition count.
     */
   final class TwsSessionizer
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -279,14 +285,39 @@ object EventStreams {
       } else Iterator.empty
   }
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Start a stateful-v2 stream with the RocksDB state-store provider
+    * held only across planning: start() clones the session conf into
+    * the StreamExecution, so — exactly like drain's shuffle-partition
+    * swap — the provider is set-and-restored inside the session lock
+    * rather than left on the caller's shared session, where it would
+    * silently switch every later stateful stream's backing store.
+    */
+  def startWithRocksDb(
+      spark: SparkSession,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[_])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.synchronized {
+      val prev = spark.conf.getOption(ProviderKey)
+      spark.conf.set(ProviderKey, RocksDbProvider)
+      try writer.start()
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
+
   /** [[TwsSessionizer]] over an event stream; same output contract as
-    * [[statefulSessions]].
+    * [[statefulSessions]]. Start the returned stream via
+    * [[startWithRocksDb]] — transformWithState requires the RocksDB
+    * provider, which is scoped to the start call, not the session.
     */
   def statefulSessionsTws(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("value"))

@@ -27,4 +27,19 @@ class MediaPipelineSpec extends SparkSpec {
     // checksum is the sum of the first 8 unsigned bytes
     assert(feats.forall(f => f.header_checksum >= 0 && f.header_checksum <= 8 * 255))
   }
+
+  test("typed mapPartitions decoder equals the q55 expression form") {
+    import spark.implicits._
+    // the registry's q55 is the oracle-checked expression version;
+    // this pins the mapPartitions twin (where a real codec would go)
+    // to the exact same features, so both stay correct together
+    val media = MediaPipeline.withPayload(Tables.t(spark, sf(), "documents"))
+      .as[MediaPipeline.Media]
+    val typed = MediaPipeline.decodeFeatures(media).toDF()
+    val exprForm = Q.registry.find(_.name == "q55_media_decode_features").get
+      .fn(spark, sf())
+      .select(typed.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    assert(typed.exceptAll(exprForm).isEmpty && exprForm.exceptAll(typed).isEmpty,
+      "decode stub and expression form must produce identical features")
+  }
 }

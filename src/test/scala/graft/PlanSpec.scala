@@ -166,6 +166,54 @@ class PlanSpec extends SparkSpec {
       s"bucket-ratio join must broadcast:\n${s.take(2000)}")
   }
 
+  // --- bench-cost tripwires: the most expensive registry queries get
+  // their plan shape pinned so a future regression fails here, not as
+  // a bench mystery. (q91/q56, the other top-cost entries, are real
+  // Structured Streaming runs whose wall time is micro-batch fixed
+  // overhead — there is no batch plan to pin; StreamingSpec covers
+  // their results.)
+
+  test("q88: both snapshot windows share ONE user_id shuffle, no global sort spill") {
+    val df = q("q88_latest_snapshot")
+    df.collect()
+    val s = planString(df)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(s).size == 1,
+      s"row_number and count windows must reuse one user_id exchange:\n${s.take(2500)}")
+  }
+
+  test("q86: per-order algebraization holds — one window, broadcast supplier, top-k") {
+    val df = q("q86_waiting_suppliers")
+    df.collect()
+    val s = planString(df)
+    // the two window columns (nsupp, nslow) may print as separate
+    // Window operators, but they must share ONE orderkey-only
+    // exchange (the (l_orderkey, l_suppkey) aggregate exchange also
+    // starts with l_orderkey — exclude it by matching the full key
+    // list) — i.e. no return of the semi/anti self-join fan
+    assert("Exchange hashpartitioning\\(l_orderkey#\\d+L?, \\d+\\)".r.findAllIn(s).size == 1,
+      s"windows must share one orderkey exchange (no self-join fan):\n${s.take(2500)}")
+    assert(s.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast:\n${s.take(2500)}")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"LIMIT 10 must plan as top-k, not a full sort:\n${s.take(2500)}")
+  }
+
+  test("q89: rollup plans as Expand + partial/final aggregate pair") {
+    val s = q("q89_grouping_flags").queryExecution.executedPlan.toString
+    assert(s.contains("Expand"), "rollup grouping sets must use Expand")
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"expected partial+final HashAggregate:\n${s.take(2000)}")
+  }
+
+  test("q66: IVF search broadcasts centroids and query set; distance is codegen'd") {
+    val df = q("q66_ivf_search")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"centroid/query sides must broadcast — candidates never shuffle:\n${s.take(2500)}")
+    assert(s.contains("vecdist2"), "distance must be the codegen'd kernel")
+  }
+
   test("q137: HAVING scalar subquery decorrelates (no per-group re-execution)") {
     val df = q("q137_group_share_threshold")
     df.collect()

@@ -73,6 +73,50 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE skew-join actually splits a skewed partition (plan-level proof)") {
+    // a 90%-hot key: once shuffled for a sort-merge join, one reducer
+    // partition is ~180k rows while the median is ~20 — exactly the
+    // shape OptimizeSkewedJoin exists for. Thresholds are lowered to
+    // fixture scale (the defaults are 256 MB production sizes); the
+    // assertion is on the FINAL adaptive plan, so this fails if a
+    // future conf/plan change silently stops AQE from splitting.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      // payload makes the hot partition's MAP OUTPUT big: skew
+      // detection reads compressed MapStatus sizes, and 180k
+      // identical (k) rows alone lz4 away to under the threshold
+      val fact = spark.range(200000).select(
+        when(col("id") < 180000, 1L).otherwise(col("id") % 1000).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("w"))
+      // aggregate GLOBALLY, not on k: a groupBy(k) downstream would
+      // require the join's hashpartitioning(k) output distribution,
+      // and AQE refuses to split a skewed partition when that would
+      // break a required distribution — the refusal is correct, but
+      // it is not what this test probes
+      val joined = fact.join(dim, "k")
+        .agg((sum("w") + sum(length(col("payload")))).as("sw"))
+      // collect THIS dataframe (count() would finalize a different
+      // query execution and leave joined's plan unexecuted)
+      assert(joined.collect().length == 1)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skew-split:\n${plan.take(3000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("binned interval join is an equi-join (no nested-loop) and equals the theta join") {
     val binned = queries.Relational5.q135.fn(spark, sf())
     val plan = binned.queryExecution.executedPlan.toString

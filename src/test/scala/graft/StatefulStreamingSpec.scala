@@ -67,9 +67,16 @@ class StatefulStreamingSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
     val events = input.toDF().toDF("user_id", "ts", "value")
-    val q = EventStreams.statefulSessionsTws(events)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("tws_spec").start()
+    val providerBefore =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val q = EventStreams.startWithRocksDb(spark,
+      EventStreams.statefulSessionsTws(events)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_spec"))
+    assert(
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        == providerBefore,
+      "RocksDB provider must not leak onto the shared session")
     try {
       input.addData((7L, ts(0), 1.0), (7L, ts(10), 2.0))
       q.processAllAvailable()
@@ -98,8 +105,9 @@ class StatefulStreamingSpec extends SparkSpec {
   test("transformWithState closed sessions match the flatMapGroupsWithState ones") {
     val tws = EventStreams.statefulSessionsTws(
       EventStreams.readEvents(spark, sf()))
-    val q1 = tws.writeStream.outputMode("append").format("memory")
-      .queryName("tws_fixture").start()
+    val q1 = EventStreams.startWithRocksDb(spark,
+      tws.writeStream.outputMode("append").format("memory")
+        .queryName("tws_fixture"))
     try q1.processAllAvailable() finally q1.stop()
     val fmg = EventStreams.statefulSessions(
       EventStreams.readEvents(spark, sf()))

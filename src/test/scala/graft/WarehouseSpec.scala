@@ -12,6 +12,53 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.healthy())
   }
 
+  test("health probe is two-sided: unreachable storage reports unhealthy") {
+    // mirrors the reference /health (app.py:125-147): engine and
+    // storage are probed independently
+    val ok = wh.health()
+    assert(ok.engine && ok.storage && ok.ok)
+    val bad = wh.health(Some("nosuchfs://bucket/warehouse"))
+    assert(bad.engine, "engine side unaffected by storage path")
+    assert(!bad.storage && !bad.ok, "unresolvable scheme must fail storage")
+    // a warehouse dir that merely doesn't exist yet is still healthy
+    // (first managed write creates it) — reachability, not existence
+    val fresh = wh.health(
+      Some(s"${System.getProperty("java.io.tmpdir")}/graft-wh-never-created"))
+    assert(fresh.storage)
+  }
+
+  test("failed CREATE retries under a generated simple name (reference fallback)") {
+    val dir = Files.createTempDirectory("graft-wh-retry")
+    val f = dir.resolve("r.csv")
+    Files.writeString(f, "k,v\n1,a\n")
+    wh.drop("retry_t")
+    assert(wh.createExternalCsv("retry_t", f.toString) == "retry_t")
+    // same name again: CREATE TABLE collides -> the reference retries
+    // once under a generated simple name (hive_manager.py:194-217)
+    val fallback = wh.createExternalCsv("retry_t", f.toString)
+    assert(fallback != "retry_t" && fallback.startsWith("table_"))
+    assert(wh.exists(fallback))
+    assert(wh.info(fallback).rowCount == 1)
+    wh.drop(fallback); wh.drop("retry_t")
+  }
+
+  test("cache/drop/info accept the same raw name the create path sanitized") {
+    import spark.implicits._
+    wh.drop("cache-dash")
+    val t = wh.createManaged("cache-dash", Seq((1, "a")).toDF("k", "v"))
+    assert(t == "cache_dash")
+    // the caller keeps using the raw name everywhere; every method
+    // resolves it through the same sanitize rule
+    wh.cache("cache-dash")
+    spark.table(t).count()
+    assert(wh.isCached("cache-dash"))
+    wh.uncache("cache-dash")
+    assert(!wh.isCached("cache-dash"))
+    assert(wh.info("cache-dash").rowCount == 1)
+    wh.drop("cache-dash")
+    assert(!wh.exists("cache-dash"))
+  }
+
   test("external table lifecycle: create, exists, info, drop keeps data") {
     val dir = Files.createTempDirectory("graft-wh")
     val f = dir.resolve("ext.csv")

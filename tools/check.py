@@ -7,7 +7,7 @@ Reads each <outDir>/<name>/ spark parquet result, runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the fixture
 tables, sorts columns by name, and compares row-by-row.
 """
-import sys, json, math, glob
+import sys, json, math, glob, os
 
 import duckdb
 
@@ -28,7 +28,12 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver fixtures are single files; ScaleUp fixtures are
+        # directories of part files — glob the latter for DuckDB
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
