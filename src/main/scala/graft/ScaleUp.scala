@@ -70,8 +70,16 @@ object ScaleUp {
 
     // offsets are max_key+1 per domain (FIXTURES.md sf0.1 ranges), so
     // the scaled key space stays contiguous and density-preserving
-    blow("supplier", Map("s_suppkey" -> 1000L))
-    blow("customer", Map("c_custkey" -> 15000L))
+    // supplier/customer names encode the key ("Supplier#%09d") and
+    // every query may treat them as unique-per-key, like real TPC-H at
+    // any SF — regenerate them from the shifted key or a group-by-name
+    // oracle silently merges the 10 shard clones
+    blow("supplier", Map("s_suppkey" -> 1000L),
+      post = df => df.withColumn("s_name",
+        format_string("Supplier#%09d", col("s_suppkey"))))
+    blow("customer", Map("c_custkey" -> 15000L),
+      post = df => df.withColumn("c_name",
+        format_string("Customer#%09d", col("c_custkey"))))
     blow("part", Map("p_partkey" -> 20000L))
     blow("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
     blow("lineitem",

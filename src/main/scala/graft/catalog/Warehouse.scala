@@ -143,6 +143,30 @@ final class Warehouse(spark: SparkSession) {
     t
   }
 
+  /** CREATE TABLE ... CLUSTERED BY (cols) INTO n BUCKETS (Hive
+    * bucketing, the (D)-surface DDL for co-located joins): write `df`
+    * as a managed table hash-bucketed on `bucketCols`. Two tables
+    * bucketed on their join key with the same bucket count join with
+    * ZERO shuffle — at warehouse scale that turns the nightly
+    * fact-to-fact join from the dominant network cost into a local
+    * merge per bucket (ScaleSpec pins the no-Exchange plan). Sorting
+    * within buckets (`sortCols`) additionally removes the join-time
+    * sort. Returns the registered name.
+    */
+  def createBucketed(
+      name: String, df: DataFrame,
+      bucketCols: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Nil): String = {
+    require(bucketCols.nonEmpty, "bucketing needs at least one column")
+    require(buckets >= 1, s"bucket count must be positive, got $buckets")
+    val t = graft.types.Types.sanitizeTableName(name)
+    val w = df.write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.mode("overwrite").saveAsTable(q(t))
+    t
+  }
+
   /** Hive `CACHE TABLE` equivalent: pin a table (or view) in the
     * cluster-wide block-manager cache for repeated interactive reads;
     * `uncache` releases it. Lazy by default — materialized on first

@@ -133,12 +133,20 @@ object Extended {
           countDistinct(col("l_suppkey")).as("exact_supps"),
           approx_count_distinct(col("l_partkey")).as("ap"),
           approx_count_distinct(col("l_suppkey")).as("asu"),
+          // The audit bands are themselves sketches, NOT exact
+          // percentile(): exact percentile buffers every value per
+          // group (the one aggregate here that cannot stream at 100 TB
+          // — it cost 8x the whole query at sf0.1). At accuracy 10⁴
+          // the band endpoints carry ≤1e-4 rank error against a ±0.05
+          // rank band, so `p50 within [q45, q55]` still holds with
+          // 0.0498 rank to spare — the bound stays a guarantee, and
+          // every aggregate in the query is now mergeable/streaming.
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
-          expr("percentile(l_quantity, 0.45)").as("qlo"),
-          expr("percentile(l_quantity, 0.55)").as("qhi"),
+          percentile_approx(col("l_quantity"), lit(0.45), lit(10000)).as("qlo"),
+          percentile_approx(col("l_quantity"), lit(0.55), lit(10000)).as("qhi"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90a"),
-          expr("percentile(l_extendedprice, 0.85)").as("plo"),
-          expr("percentile(l_extendedprice, 0.95)").as("phi"))
+          percentile_approx(col("l_extendedprice"), lit(0.85), lit(10000)).as("plo"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("phi"))
         .select(
           col("l_returnflag"), col("exact_parts"), col("exact_supps"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15)

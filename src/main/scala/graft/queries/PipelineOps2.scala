@@ -120,5 +120,25 @@ object PipelineOps2 {
       |    AS stage3_diversity
       |FROM flags""".stripMargin))
 
-  val all: Vector[Q] = Vector(q149, q150, q151)
+  /** Sharded JSONL training-export with a readback-verified manifest
+    * ([[graft.pipeline.TrainingExport]]): write the corpus as 8
+    * content-addressed JSONL shards, read the files back, and emit
+    * per-shard (docs, tokens, XOR checksum). The oracle computes the
+    * same manifest straight from the source table, so the hash-match
+    * verifies the WRITE path — shard routing, JSON escaping, and the
+    * roundtrip of every doc_id and text byte — not just the
+    * aggregation.
+    */
+  val q177 = Q(
+    "q177_export_jsonl",
+    (s, dir) => {
+      // per-sfDir output path: sf0.01 and sf1 runs don't clobber each
+      // other, and re-runs overwrite deterministically
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.pipeline.TrainingExport.exportJsonl(docs(s, dir), out, shards = 8)
+    },
+    Some(graft.pipeline.TrainingExport.manifestOracleSql("documents", shards = 8)))
+
+  val all: Vector[Q] = Vector(q149, q150, q151, q177)
 }

@@ -114,14 +114,21 @@ object Relational {
             col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy("n_name")
+        // Accumulate revenue in decimal: each item's discounted price
+        // has an exact 4-dp value (2-dp price × 2-dp factor), so the
+        // per-row double→decimal cast is deterministic and the decimal
+        // sum is associative. A raw double sum differs between engines
+        // in the last ulp once the total is large enough (first seen at
+        // the 6M-row sf1 fixture) and can flip the half-cent rounding.
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
     Some("""SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey

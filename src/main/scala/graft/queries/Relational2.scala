@@ -69,8 +69,15 @@ object Relational2 {
     "q64_correlated_subquery",
     (s, dir) => {
       Tables.registerAll(s, dir)
+      // avg_above sums in decimal (exact, fold-order-free) and divides
+      // once, with NO rounding: sum(2-dp values)/count lands exactly on
+      // half-boundaries (e.g. S/320 terminates in …5 at the 5th
+      // decimal), where Spark's BigDecimal HALF_UP and the oracle's
+      // scaled-multiply rounding disagree; the unrounded quotient is
+      // the same IEEE double in both engines.
       s.sql("""SELECT c_nationkey, count(*) AS n_above,
-        |  round(avg(c_acctbal), 4) AS avg_above
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*) AS avg_above
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
@@ -78,7 +85,8 @@ object Relational2 {
         |ORDER BY c_nationkey""".stripMargin)
     },
     Some("""SELECT c_nationkey, count(*) AS n_above,
-      |  round(avg(c_acctbal), 4) AS avg_above
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |        / count(*) AS avg_above
       |FROM customer c
       |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)

@@ -303,19 +303,24 @@ object Relational3 {
   val q106 = Q(
     "q106_global_spend_rank",
     (s, dir) => {
+      // Sum in decimal so customers with identical order multisets
+      // (guaranteed by the key-shifted sf1 shards) are EXACT ties that
+      // the custkey tie-break resolves identically in both engines; a
+      // double sum's fold order decides such near-ties differently in
+      // Spark vs the oracle.
       val spend = Tables.t(s, dir, "orders")
         .groupBy(col("o_custkey").as("custkey"))
-        .agg(sum("o_totalprice").as("total"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
       graft.functions.Dist.globalRank(
           spend, Seq(col("total").desc, col("custkey")), "rnk",
           s.sparkContext.defaultParallelism)
-        .select(col("custkey"), round(col("total"), 2).as("total"), col("rnk"))
+        .select(col("custkey"), col("total").cast("double").as("total"), col("rnk"))
         .orderBy("rnk")
     },
-    Some("""SELECT o_custkey AS custkey, round(total, 2) AS total,
+    Some("""SELECT o_custkey AS custkey, CAST(total AS DOUBLE) AS total,
       |  CAST(row_number() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk
       |FROM (
-      |  SELECT o_custkey, sum(o_totalprice) AS total
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
       |  FROM orders GROUP BY 1)
       |ORDER BY rnk""".stripMargin))
 

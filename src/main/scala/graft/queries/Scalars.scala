@@ -111,7 +111,12 @@ object Scalars {
           pmod(col("l_orderkey"), lit(7)).as("key_mod"),
           greatest(col("l_tax"), col("l_discount")).as("max_rate"),
           least(col("l_tax"), col("l_discount")).as("min_rate"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // The synthetic lineitem has no (orderkey, linenumber) PK —
+        // ~118k duplicate pairs — so sort by every base column the
+        // projection derives from; any rows still tying are fully
+        // identical and compare equal in any order.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity", "l_discount", "l_tax")
     },
     Some("""SELECT l_orderkey, l_linenumber,
       |  abs(l_quantity - 25) AS abs_dev,
@@ -128,7 +133,8 @@ object Scalars {
       |  least(l_tax, l_discount) AS min_rate
       |FROM lineitem
       |WHERE l_orderkey < 1000
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice,
+      |  l_quantity, l_discount, l_tax""".stripMargin))
 
   /** CASE/COALESCE/NULLIF bucketing rolled into a grouped count. */
   val q31 = Q(

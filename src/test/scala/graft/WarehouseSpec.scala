@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.catalog.Warehouse
+import org.apache.spark.sql.functions._
 
 class WarehouseSpec extends SparkSpec {
 
@@ -57,6 +58,32 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.info("cache-dash").rowCount == 1)
     wh.drop("cache-dash")
     assert(!wh.exists("cache-dash"))
+  }
+
+  test("createBucketed tables join with no shuffle on the bucket key") {
+    val o = Tables.t(spark, sf(), "orders")
+    val c = Tables.t(spark, sf(), "customer")
+    wh.drop("orders_wb"); wh.drop("customer_wb")
+    assert(wh.createBucketed("orders_wb", o,
+      Seq("o_custkey"), 8, sortCols = Seq("o_custkey")) == "orders_wb")
+    assert(wh.createBucketed("customer_wb", c,
+      Seq("c_custkey"), 8, sortCols = Seq("c_custkey")) == "customer_wb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_wb")
+        .join(spark.table("customer_wb"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      val keyExchanges =
+        "Exchange hashpartitioning\\(o_custkey".r.findAllIn(plan).size +
+          "Exchange hashpartitioning\\(c_custkey".r.findAllIn(plan).size
+      assert(keyExchanges == 0,
+        s"co-bucketed join must not shuffle its inputs:\n${plan.take(2000)}")
+      assert(joined.agg(sum("count")).head().getLong(0) == o.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      wh.drop("orders_wb"); wh.drop("customer_wb")
+    }
   }
 
   test("external table lifecycle: create, exists, info, drop keeps data") {
