@@ -13,14 +13,12 @@ import org.apache.spark.sql.functions._
   * gets `copy × (max_key+1)` added, consistently across fact and
   * dimension FKs, so join structure, group cardinalities per shard,
   * and value distributions are EXACTLY those of sf0.1; region/nation
-  * stay fixed (they are fixed at every TPC-H scale). Document text
-  * gets a per-copy suffix token (and n_chars recomputed — the fixture
-  * invariant n_chars = length(text) holds at sf0.1) so near-dup
-  * DENSITY stays constant instead of every doc gaining 9 exact
-  * clones, which would square the LSH candidate space and measure a
-  * degenerate corpus, not scale-up. Embedding vectors repeat
-  * verbatim: ANN queries tie-break deterministically and the oracle
-  * reads the same files. events.ts is written as µs timestamps
+  * stay fixed (they are fixed at every TPC-H scale). Document tokens
+  * get a per-copy suffix (n_chars recomputed — the fixture invariant
+  * n_chars = length(text) holds at sf0.1) and embeddings are
+  * circularly shifted per copy, so cross-copy similarity vanishes
+  * and near-dup DENSITY stays constant — see the inline comment at
+  * the documents/embeddings blow-up. events.ts is written as µs timestamps
   * (Spark cannot write parquet TIMESTAMP(NANOS); the source values
   * are µs-aligned, so nothing is truncated).
   *
@@ -87,14 +85,34 @@ object ScaleUp {
     blow("events", Map("event_id" -> 100000L, "user_id" -> 1500L),
       post = df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     // documents.doc_id and embeddings.vec_id share one offset so the
-    // doc_id = vec_id multimodal join keeps exactly its per-shard pairs
+    // doc_id = vec_id multimodal join keeps exactly its per-shard pairs.
+    //
+    // Copies must NOT be near-dups of each other: a single appended
+    // token leaves cross-copy Jaccard ≈ 0.95, so every dup cluster
+    // grows 10x and every pair-generating query (LSH, blocked
+    // Jaccard, SemDeDup) does 100x the work per cluster — measured as
+    // a 24-33x bench blow-up, a property of the corpus, not the
+    // plans. Real 10x corpora add new content; so: every token gets a
+    // per-copy suffix (cross-copy Jaccard = 0, per-shard dup
+    // structure bit-identical to sf0.1 → constant dup density), and
+    // each embedding is circularly shifted by `copy` positions — a
+    // permutation is orthogonal, so within-copy dots/norms/distances
+    // are EXACTLY sf0.1's while cross-copy cosines sit at the ~0
+    // noise floor of unrelated 64-dim vectors.
     blow("documents", Map("doc_id" -> 10000L),
       post = df => df
         .withColumn("text",
           when(c === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" copy"), c.cast("string"))))
+            .otherwise(array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit("_c"), c.cast("string"))), " ")))
         .withColumn("n_chars", length(col("text")).cast("long")))
-    blow("embeddings", Map("vec_id" -> 10000L))
+    blow("embeddings", Map("vec_id" -> 10000L),
+      post = df => df.withColumn("embedding",
+        when(c === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), c + 1, lit(64) - c),
+            slice(col("embedding"), lit(1), c)))))
 
     spark.stop()
   }

@@ -30,6 +30,39 @@ object Portable {
   def md5LongSql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
+  /** Fold-order-free money sum: accumulate in decimal, round on the
+    * EXACT total, return double.
+    *
+    * `round(sum(double), 2)` is a latent cross-engine flake: the two
+    * engines fold partial sums in different orders, so totals differ
+    * in the last ulp, and once the total is large enough an ulp
+    * spans a half-cent boundary (first bitten at the 6M-row sf1
+    * fixtures). The fixture money columns are exact 2-dp values, so
+    * the per-row double→decimal(18,4) cast is lossless, the decimal
+    * sum is associative, and rounding the exact total is half-away-
+    * from-zero in both engines (positive exact decimals: Spark
+    * HALF_UP ≡ DuckDB's rounding).
+    */
+  def moneySum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+  def moneySumSql(expr: String, scale: Int = 2): String =
+    s"CAST(round(sum(CAST($expr AS DECIMAL(18,4))), $scale) AS DOUBLE)"
+
+  /** Fold-order-free money average: exact decimal sum, ONE double
+    * division, and — deliberately — no rounding. Rounding the
+    * quotient is its own trap: when the group count factors as
+    * 2ᵃ·5ᵇ the exact quotient terminates and can land exactly on a
+    * half-boundary, where the engines' rounding rules disagree
+    * (Spark BigDecimal HALF_UP vs a scaled-multiply round). The
+    * unrounded quotient of identical doubles is identical.
+    */
+  def moneyAvg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
+
+  def moneyAvgSql(expr: String): String =
+    s"(CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / count(*))"
+
   /** Whitespace tokenization shared by the text operators: split on
     * runs of whitespace, drop empties (Spark `split` and DuckDB
     * `string_split_regex` both emit empty strings at the boundaries).

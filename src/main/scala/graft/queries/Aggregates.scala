@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import graft.stats.SchemaPreview
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,12 +26,12 @@ object Aggregates {
         .rollup(col("yr"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"),
+          P.moneySum(col("o_totalprice")).as("total"),
           grouping_id().cast("int").as("gid"))
         .orderBy("gid", "yr", "o_orderpriority")
     },
-    Some("""SELECT yr, o_orderpriority, count(*) AS n,
-      |  round(sum(o_totalprice), 2) AS total,
+    Some(s"""SELECT yr, o_orderpriority, count(*) AS n,
+      |  ${P.moneySumSql("o_totalprice")} AS total,
       |  CAST(2 * GROUPING(yr) + GROUPING(o_orderpriority) AS INTEGER) AS gid
       |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority, o_totalprice
       |      FROM orders)
@@ -45,12 +46,12 @@ object Aggregates {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg("o_totalprice"), 4).as("avg_price"),
+          P.moneyAvg(col("o_totalprice")).as("avg_price"),
           grouping_id().cast("int").as("gid"))
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
     },
-    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  round(avg(o_totalprice), 4) AS avg_price,
+    Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  ${P.moneyAvgSql("o_totalprice")} AS avg_price,
       |  CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INTEGER) AS gid
       |FROM orders
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import graft.functions.Dist
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -157,13 +158,13 @@ object Analytics2 {
           year(col("o_orderdate")).as("yr"),
           col("o_totalprice"))
         .groupBy("price_bin", "yr")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"), P.moneySum(col("o_totalprice")).as("total"))
         .orderBy("price_bin", "yr")
     },
-    Some("""SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 10)
+    Some(s"""SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 10)
       |    AS price_bin,
       |  CAST(year(o_orderdate) AS INTEGER) AS yr,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n, ${P.moneySumSql("o_totalprice")} AS total
       |FROM orders
       |GROUP BY 1, 2 ORDER BY price_bin, yr""".stripMargin))
 
@@ -179,7 +180,7 @@ object Analytics2 {
       val c = Tables.t(s, dir, "customer")
         .withColumn("bal", when(col("c_acctbal") >= 0, col("c_acctbal")))
       val means = c.groupBy(col("c_nationkey").as("nk"))
-        .agg(round(avg("bal"), 4).as("mu"))
+        .agg(P.moneyAvg(col("bal")).as("mu"))
       c.join(broadcast(means), col("c_nationkey") === col("nk"))
         .select(
           col("c_custkey"),
@@ -187,12 +188,12 @@ object Analytics2 {
           round(coalesce(col("bal"), col("mu")), 4).as("bal_filled"))
         .orderBy("c_custkey")
     },
-    Some("""WITH c AS (
+    Some(s"""WITH c AS (
       |  SELECT c_custkey, c_nationkey,
       |    CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal
       |  FROM customer),
       |means AS (
-      |  SELECT c_nationkey, round(avg(bal), 4) AS mu
+      |  SELECT c_nationkey, ${P.moneyAvgSql("bal")} AS mu
       |  FROM c GROUP BY 1)
       |SELECT c_custkey, bal IS NULL AS imputed,
       |  round(coalesce(bal, mu), 4) AS bal_filled
@@ -216,10 +217,10 @@ object Analytics2 {
         .filter(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch"), lit("none")).as("first_touch"))
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum("value"), 2).as("credited_value"))
+          P.moneySum(col("value")).as("credited_value"))
         .orderBy("first_touch")
     },
-    Some("""WITH touched AS (
+    Some(s"""WITH touched AS (
       |  SELECT event_type, value,
       |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
       |        IGNORE NULLS)
@@ -227,7 +228,7 @@ object Analytics2 {
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
       |  FROM events)
       |SELECT coalesce(touch, 'none') AS first_touch,
-      |  count(*) AS n_purchases, round(sum(value), 2) AS credited_value
+      |  count(*) AS n_purchases, ${P.moneySumSql("value")} AS credited_value
       |FROM touched WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY first_touch""".stripMargin))
 
@@ -344,7 +345,7 @@ object Analytics2 {
         .agg(
           max(unix_timestamp(col("o_orderdate"))).as("last_t"),
           count(lit(1)).as("f"),
-          round(sum("o_totalprice"), 2).as("m"))
+          P.moneySum(col("o_totalprice")).as("m"))
         .crossJoin(broadcast(asOf))
         .select(col("o_custkey"),
           floor((col("t") - col("last_t")) / 86400).as("r"),
@@ -360,12 +361,12 @@ object Analytics2 {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("recency", "frequency", "monetary")
     },
-    Some("""WITH rfm AS (
+    Some(s"""WITH rfm AS (
       |  SELECT o_custkey,
       |    CAST(floor(((SELECT max(epoch(o_orderdate)) FROM orders)
       |      - max(epoch(o_orderdate))) / 86400) AS BIGINT) AS r,
       |    count(*) AS f,
-      |    round(sum(o_totalprice), 2) AS m
+      |    ${P.moneySumSql("o_totalprice")} AS m
       |  FROM orders GROUP BY 1),
       |med AS (SELECT median(r) AS mr, median(f) AS mf, median(m) AS mm FROM rfm)
       |SELECT
@@ -531,19 +532,19 @@ object Analytics2 {
     (s, dir) => {
       val daily = Tables.t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum("o_totalprice").as("rev"))
+        .agg(P.moneySum(col("o_totalprice")).as("rev"))
       val stats = daily.agg(avg("rev").as("mu"), stddev_samp("rev").as("sd"))
       daily.crossJoin(broadcast(stats))
         .withColumn("z", round((col("rev") - col("mu")) / col("sd"), 4))
         .filter(abs(col("z")) > 2)
-        .select(col("day"), round(col("rev"), 2).as("rev"), col("z"))
+        .select(col("day"), col("rev"), col("z"))
         .orderBy("day")
     },
-    Some("""WITH daily AS (
-      |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+    Some(s"""WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders GROUP BY 1),
       |stats AS (SELECT avg(rev) AS mu, stddev_samp(rev) AS sd FROM daily)
-      |SELECT day, round(rev, 2) AS rev,
+      |SELECT day, rev,
       |  round((rev - mu) / sd, 4) AS z
       |FROM daily CROSS JOIN stats
       |WHERE abs(round((rev - mu) / sd, 4)) > 2
@@ -621,7 +622,7 @@ object Analytics2 {
     (s, dir) => {
       val spend = Tables.t(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 2).as("x"))
+        .agg(P.moneySum(col("o_totalprice")).as("x"))
       val ranked = Dist.globalRank(
         spend, Seq(col("x"), col("o_custkey")), "i", 16)
       ranked.agg(
@@ -632,8 +633,8 @@ object Analytics2 {
             (count(lit(1)) + 1).cast("double") / count(lit(1)),
           6).as("gini"))
     },
-    Some("""WITH spend AS (
-      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS x
+    Some(s"""WITH spend AS (
+      |  SELECT o_custkey, ${P.moneySumSql("o_totalprice")} AS x
       |  FROM orders GROUP BY 1),
       |ranked AS (
       |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend)
@@ -683,28 +684,30 @@ object Analytics2 {
   val q172 = Q(
     "q172_weekday_seasonality",
     (s, dir) => {
+      // daily revenue in decimal (exact); the weekday/overall averages
+      // then re-sum the exact daily totals in decimal too, so both
+      // engines divide the same numerator — see Portable.moneyAvg
       val daily = Tables.t(s, dir, "orders")
         .groupBy(floor(unix_timestamp(col("o_orderdate")) / 86400).as("day"))
-        .agg(sum("o_totalprice").as("rev"))
-      val overall = daily.agg(avg("rev").as("mu"))
+        .agg(P.moneySum(col("o_totalprice")).as("rev"))
+      val overall = daily.agg(P.moneyAvg(col("rev")).as("mu"))
       daily
         .withColumn("dow", pmod(col("day") + 4, lit(7))) // 0 = Sunday
         .groupBy("dow")
-        .agg(count(lit(1)).as("n_days"), avg("rev").as("avg_rev"))
+        .agg(count(lit(1)).as("n_days"), P.moneyAvg(col("rev")).as("avg_rev"))
         .crossJoin(broadcast(overall))
-        .select(col("dow"), col("n_days"),
-          round(col("avg_rev"), 2).as("avg_rev"),
+        .select(col("dow"), col("n_days"), col("avg_rev"),
           round(col("avg_rev") / col("mu"), 5).as("index"))
         .orderBy("dow")
     },
-    Some("""WITH daily AS (
+    Some(s"""WITH daily AS (
       |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
-      |    sum(o_totalprice) AS rev
+      |    ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders GROUP BY 1),
-      |o AS (SELECT avg(rev) AS mu FROM daily)
+      |o AS (SELECT ${P.moneyAvgSql("rev")} AS mu FROM daily)
       |SELECT (day + 4) % 7 AS dow, count(*) AS n_days,
-      |  round(avg(rev), 2) AS avg_rev,
-      |  round(avg(rev) / mu, 5) AS index
+      |  ${P.moneyAvgSql("rev")} AS avg_rev,
+      |  round(${P.moneyAvgSql("rev")} / mu, 5) AS index
       |FROM daily CROSS JOIN o
       |GROUP BY 1, mu ORDER BY dow""".stripMargin))
 
@@ -765,7 +768,7 @@ object Analytics2 {
         .join(broadcast(Tables.t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(sum("o_totalprice").as("rev"))
+        .agg(P.moneySum(col("o_totalprice")).as("rev"))
       val wRegion = Window.partitionBy("r_name")
       val wAll = Window.partitionBy()
       nat
@@ -773,18 +776,18 @@ object Analytics2 {
           round(col("rev") / sum("rev").over(wRegion), 6))
         .withColumn("region_share",
           round(sum("rev").over(wRegion) / sum("rev").over(wAll), 6))
-        .select(col("r_name"), col("n_name"), round(col("rev"), 2).as("rev"),
+        .select(col("r_name"), col("n_name"), col("rev"),
           col("share_of_region"), col("region_share"))
         .orderBy("r_name", "n_name")
     },
-    Some("""WITH nat AS (
-      |  SELECT r_name, n_name, sum(o_totalprice) AS rev
+    Some(s"""WITH nat AS (
+      |  SELECT r_name, n_name, ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
       |  GROUP BY 1, 2)
-      |SELECT r_name, n_name, round(rev, 2) AS rev,
+      |SELECT r_name, n_name, rev,
       |  round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_of_region,
       |  round(sum(rev) OVER (PARTITION BY r_name) / sum(rev) OVER (), 6)
       |    AS region_share

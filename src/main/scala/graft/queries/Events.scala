@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,14 +24,14 @@ object Events {
     (s, dir) => {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), P.moneySum(col("value")).as("sum_value"))
         .select(
           unix_timestamp(col("window.start")).as("wstart"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("wstart", "event_type")
     },
-    Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS wstart,
-      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    Some(s"""SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS wstart,
+      |  event_type, count(*) AS n, ${P.moneySumSql("value")} AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY wstart, event_type""".stripMargin))
@@ -44,12 +45,12 @@ object Events {
     (s, dir) => {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), P.moneySum(col("value")).as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("wstart"), col("n"), col("sum_value"))
         .orderBy("wstart")
     },
-    Some("""SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o) * 300 AS wstart,
-      |  count(*) AS n, round(sum(value), 2) AS sum_value
+    Some(s"""SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - o) * 300 AS wstart,
+      |  count(*) AS n, ${P.moneySumSql("value")} AS sum_value
       |FROM events CROSS JOIN (VALUES (0), (1)) t(o)
       |GROUP BY 1
       |ORDER BY wstart""".stripMargin))
@@ -64,14 +65,14 @@ object Events {
     (s, dir) => {
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), P.moneySum(col("value")).as("sum_value"))
         .select(
           col("user_id"),
           unix_timestamp(col("session_window.start")).as("sstart"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "sstart")
     },
-    Some("""WITH flagged AS (
+    Some(s"""WITH flagged AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
@@ -85,7 +86,7 @@ object Events {
       |  FROM flagged
       |)
       |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sstart,
-      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  count(*) AS n_events, ${P.moneySumSql("value")} AS sum_value
       |FROM numbered
       |GROUP BY user_id, sid
       |ORDER BY user_id, sstart""".stripMargin))

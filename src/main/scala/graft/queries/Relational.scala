@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,22 +27,24 @@ object Relational {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // money aggregates accumulate in decimal (Portable.moneySum
+        // scaladoc: double sums are fold-order-dependent at scale)
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          P.moneySum(col("l_quantity")).as("sum_qty"),
+          P.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          P.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 6).as("avg_qty"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          P.moneyAvg(col("l_quantity")).as("avg_qty"),
+          P.moneyAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    Some("""SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_discount), 6) AS avg_disc,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      |  ${P.moneySumSql("l_quantity")} AS sum_qty,
+      |  ${P.moneySumSql("l_extendedprice")} AS sum_base_price,
+      |  ${P.moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      |  ${P.moneyAvgSql("l_quantity")} AS avg_qty,
+      |  ${P.moneyAvgSql("l_discount")} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -85,14 +88,14 @@ object Relational {
         .groupBy("c_mktsegment")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price"),
-          round(avg("o_totalprice"), 4).as("avg_price"))
+          P.moneySum(col("o_totalprice")).as("total_price"),
+          P.moneyAvg(col("o_totalprice")).as("avg_price"))
         .orderBy("c_mktsegment")
     },
-    Some("""SELECT c_mktsegment,
+    Some(s"""SELECT c_mktsegment,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_price,
-      |  round(avg(o_totalprice), 4) AS avg_price
+      |  ${P.moneySumSql("o_totalprice")} AS total_price,
+      |  ${P.moneyAvgSql("o_totalprice")} AS avg_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin))
@@ -150,12 +153,12 @@ object Relational {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(round(sum("o_totalprice"), 2), lit(0.0)).as("total_spend"))
+          coalesce(P.moneySum(col("o_totalprice")), lit(0.0)).as("total_spend"))
         .orderBy("c_custkey")
     },
-    Some("""SELECT c_custkey,
+    Some(s"""SELECT c_custkey,
       |  count(o_orderkey) AS n_orders,
-      |  coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spend
+      |  coalesce(${P.moneySumSql("o_totalprice")}, 0.0) AS total_spend
       |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin))
@@ -257,15 +260,18 @@ object Relational {
             col("l_shipdate") >= col("o_orderdate") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .groupBy(year(col("o_orderdate")).as("yr"))
+        // decimal accumulation, same reason as q04: the raw double sum
+        // is fold-order-dependent at sf1 row counts
         .agg(
           count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")), 2)
+            .cast("double").as("revenue"))
         .orderBy("yr")
     },
     Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |  count(*) AS n_lines,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders
       |  ON l_orderkey = o_orderkey
       | AND l_shipdate >= o_orderdate

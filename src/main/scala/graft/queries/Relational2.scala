@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -19,21 +20,19 @@ object Relational2 {
     "q62_from_json_struct",
     (s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
-      // NO repartition here: avg(value) sums true doubles, and rounded
-      // float aggregates need scan-order parity with the oracle
-      // (observed: a 1-ulp avg divergence at sf0.1 with a repartition).
-      // q32 tolerates its repartition only because its avg is over
-      // integer values, whose double sums are exact in any order.
+      // avg_value is fold-order-free (Portable.moneyAvg: exact decimal
+      // sum, one double division), so unlike the historical double-avg
+      // form it no longer needs scan-order parity with the oracle.
       Tables.events(s, dir)
         .withColumn("j", from_json(col("props"), schema))
         .filter(col("j.k").isNotNull && col("j.k") % 10 === 0)
         .groupBy((col("j.k") / 10).cast("int").as("k_decile"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), P.moneyAvg(col("value")).as("avg_value"))
         .orderBy("k_decile")
     },
-    Some("""SELECT CAST(k / 10 AS INTEGER) AS k_decile,
-      |  count(*) AS n, round(avg(value), 6) AS avg_value
-      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+    Some(s"""SELECT CAST(k / 10 AS INTEGER) AS k_decile,
+      |  count(*) AS n, ${P.moneyAvgSql("value")} AS avg_value
+      |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k, value
       |      FROM events)
       |WHERE k IS NOT NULL AND k % 10 = 0
       |GROUP BY 1
@@ -49,13 +48,13 @@ object Relational2 {
         .withColumn("yr", year(col("o_orderdate")))
         .groupBy("yr")
         .pivot("o_orderstatus", Seq("O", "F", "P"))
-        .agg(round(sum("o_totalprice"), 2))
+        .agg(P.moneySum(col("o_totalprice")))
         .orderBy("yr")
     },
-    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  ${P.moneySumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+      |  ${P.moneySumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+      |  ${P.moneySumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
       |FROM orders
       |GROUP BY 1
       |ORDER BY yr""".stripMargin))

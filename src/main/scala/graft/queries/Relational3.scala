@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,25 +26,25 @@ object Relational3 {
         .withColumn("d", to_date(col("o_orderdate")))
         .filter(col("d").between("1995-03-01", "1995-03-31"))
         .groupBy("d")
-        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
+        .agg(count(lit(1)).as("n"), P.moneySum(col("o_totalprice")).as("rev"))
       spine.join(per, Seq("d"), "left_outer")
         .select(
           col("d"),
           coalesce(col("n"), lit(0L)).as("n_orders"),
-          round(coalesce(col("rev"), lit(0.0)), 2).as("revenue"))
+          coalesce(col("rev"), lit(0.0)).as("revenue"))
         .orderBy("d")
     },
-    Some("""WITH spine AS (
+    Some(s"""WITH spine AS (
       |  SELECT CAST(unnest(generate_series(
       |    DATE '1995-03-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d),
       |per AS (
       |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
-      |    sum(o_totalprice) AS rev
+      |    ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders
       |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
       |  GROUP BY 1)
       |SELECT spine.d, COALESCE(n, 0) AS n_orders,
-      |  round(COALESCE(rev, 0.0), 2) AS revenue
+      |  COALESCE(rev, 0.0) AS revenue
       |FROM spine LEFT OUTER JOIN per ON spine.d = per.d
       |ORDER BY spine.d""".stripMargin))
 
@@ -191,14 +192,14 @@ object Relational3 {
         .join(broadcast(Tables.t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .agg(P.moneySum(col("o_totalprice")).as("rev"))
         .withColumn("share",
           round(col("rev") / sum("rev").over(Window.partitionBy()), 6))
         .orderBy("n_name")
     },
-    Some("""SELECT n_name, rev, round(rev / sum(rev) OVER (), 6) AS share
+    Some(s"""SELECT n_name, rev, round(rev / sum(rev) OVER (), 6) AS share
       |FROM (
-      |  SELECT n_name, round(sum(o_totalprice), 2) AS rev
+      |  SELECT n_name, ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -274,21 +275,21 @@ object Relational3 {
         .groupBy(
           year(col("o_orderdate")).cast("int").as("y"),
           month(col("o_orderdate")).cast("int").as("m"))
-        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .agg(P.moneySum(col("o_totalprice")).as("rev"))
         .withColumn("prev", lag("rev", 1).over(
           Window.orderBy(col("y"), col("m"))))
         .withColumn("growth",
           round((col("rev") - col("prev")) / col("prev"), 6))
         .orderBy("y", "m")
     },
-    Some("""SELECT y, m, rev,
+    Some(s"""SELECT y, m, rev,
       |  lag(rev, 1) OVER (ORDER BY y, m) AS prev,
       |  round((rev - lag(rev, 1) OVER (ORDER BY y, m)) /
       |        lag(rev, 1) OVER (ORDER BY y, m), 6) AS growth
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
       |    CAST(month(o_orderdate) AS INTEGER) AS m,
-      |    round(sum(o_totalprice), 2) AS rev
+      |    ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders GROUP BY 1, 2)
       |ORDER BY y, m""".stripMargin))
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,9 +70,12 @@ object Relational4 {
       val target = Tables.t(s, dir, "customer")
         .filter(col("c_custkey") % 3 =!= 0)
         .select(col("c_custkey").as("t_key"), col("c_acctbal").as("t_bal"))
+      // s_delta in decimal: per-customer double sums flip the final
+      // 2-dp rounding at scale; the later t_bal + s_delta addition is
+      // a single op on identical doubles, so it stays deterministic
       val source = Tables.t(s, dir, "orders")
         .groupBy(col("o_custkey").as("s_key"))
-        .agg(sum("o_totalprice").as("s_delta"))
+        .agg(P.moneySum(col("o_totalprice")).as("s_delta"))
       target.join(source, col("t_key") === col("s_key"), "full_outer")
         .select(
           coalesce(col("t_key"), col("s_key")).as("custkey"),
@@ -82,14 +86,15 @@ object Relational4 {
             .as("balance"))
         .orderBy("custkey")
     },
-    Some("""SELECT COALESCE(t_key, s_key) AS custkey,
+    Some(s"""SELECT COALESCE(t_key, s_key) AS custkey,
       |  CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN 'update'
       |       WHEN t_key IS NULL THEN 'insert'
       |       ELSE 'keep' END AS action,
       |  round(COALESCE(t_bal, 0.0) + COALESCE(s_delta, 0.0), 2) AS balance
       |FROM (SELECT c_custkey AS t_key, c_acctbal AS t_bal FROM customer
       |      WHERE c_custkey % 3 <> 0) t
-      |FULL OUTER JOIN (SELECT o_custkey AS s_key, sum(o_totalprice) AS s_delta
+      |FULL OUTER JOIN (SELECT o_custkey AS s_key,
+      |                   ${P.moneySumSql("o_totalprice")} AS s_delta
       |                 FROM orders GROUP BY 1) s
       |  ON t_key = s_key
       |ORDER BY custkey""".stripMargin))
@@ -152,12 +157,12 @@ object Relational4 {
         .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          P.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag, count(*) AS n,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    Some(s"""SELECT l_returnflag, count(*) AS n,
+      |  ${P.moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       |FROM lineitem
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
       |GROUP BY 1

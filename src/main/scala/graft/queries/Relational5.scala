@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.{Portable => P}
 import graft.functions.Dist
 import org.apache.spark.sql.functions._
 
@@ -106,9 +107,9 @@ object Relational5 {
       Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
       Tables.t(s, dir, "customer").createOrReplaceTempView("customer")
       Tables.t(s, dir, "nation").createOrReplaceTempView("nation")
-      s.sql("""WITH rev AS (
+      s.sql(s"""WITH rev AS (
         SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-          round(sum(o_totalprice), 2) AS rev
+          ${P.moneySumSql("o_totalprice")} AS rev
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -120,9 +121,9 @@ object Relational5 {
       SELECT mon, rn, n_name, rev FROM ranked WHERE rn <= 3
       ORDER BY mon, rn""")
     },
-    Some("""WITH rev AS (
+    Some(s"""WITH rev AS (
       |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
-      |    round(sum(o_totalprice), 2) AS rev
+      |    ${P.moneySumSql("o_totalprice")} AS rev
       |  FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -186,21 +187,25 @@ object Relational5 {
     "q136_interval_range_frame",
     (s, dir) => {
       Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql("""WITH d AS (
+      // the daily rev is a decimal sum in BOTH texts (same fold-order
+      // rationale as Portable.moneySum); the 7-day window then
+      // averages ≤7 identical exact doubles — deterministic, and /7
+      // can't land on a rounding half-boundary
+      s.sql(s"""WITH d AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-          sum(o_totalprice) AS rev, count(*) AS n
+          ${P.moneySumSql("o_totalprice")} AS rev, count(*) AS n
         FROM orders GROUP BY 1)
-      SELECT day, n, round(rev, 2) AS rev,
+      SELECT day, n, rev,
         round(avg(rev) OVER (ORDER BY day
           RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
           AS avg_7d
       FROM d ORDER BY day""")
     },
-    Some("""WITH d AS (
+    Some(s"""WITH d AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,
-      |    sum(o_totalprice) AS rev, count(*) AS n
+      |    ${P.moneySumSql("o_totalprice")} AS rev, count(*) AS n
       |  FROM orders GROUP BY 1)
-      |SELECT day, n, round(rev, 2) AS rev,
+      |SELECT day, n, rev,
       |  round(avg(rev) OVER (ORDER BY day
       |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
       |    AS avg_7d
@@ -217,16 +222,16 @@ object Relational5 {
     "q137_group_share_threshold",
     (s, dir) => {
       Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql("""SELECT l_partkey,
-        round(sum(l_extendedprice * l_quantity), 2) AS val
+      s.sql(s"""SELECT l_partkey,
+        ${P.moneySumSql("l_extendedprice * l_quantity")} AS val
       FROM lineitem
       GROUP BY l_partkey
       HAVING sum(l_extendedprice * l_quantity) >
         (SELECT sum(l_extendedprice * l_quantity) * 0.00058 FROM lineitem)
       ORDER BY val DESC, l_partkey""")
     },
-    Some("""SELECT l_partkey,
-      |  round(sum(l_extendedprice * l_quantity), 2) AS val
+    Some(s"""SELECT l_partkey,
+      |  ${P.moneySumSql("l_extendedprice * l_quantity")} AS val
       |FROM lineitem
       |GROUP BY l_partkey
       |HAVING sum(l_extendedprice * l_quantity) >

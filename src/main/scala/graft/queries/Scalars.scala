@@ -148,15 +148,16 @@ object Scalars {
         .withColumn("status_label",
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")))
         .groupBy("bucket", "status_label")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Portable.moneySum(col("o_totalprice")).as("total"))
         .orderBy("bucket", "status_label")
     },
-    Some("""SELECT
+    Some(s"""SELECT
       |  CASE WHEN o_totalprice < 50000 THEN 'small'
       |       WHEN o_totalprice < 150000 THEN 'medium'
       |       ELSE 'large' END AS bucket,
       |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n, ${graft.functions.Portable.moneySumSql("o_totalprice")} AS total
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY bucket, status_label""".stripMargin))

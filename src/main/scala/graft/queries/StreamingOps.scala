@@ -42,9 +42,9 @@ object StreamingOps {
     (s, dir) =>
       EventStreams.enrichedTumblingCounts(s, dir, "q91_sink")
         .orderBy("wstart", "segment"),
-    Some("""SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS wstart,
+    Some(s"""SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS wstart,
       |  CAST(seg_user % 3 AS INTEGER) AS segment,
-      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |  count(*) AS n, ${graft.functions.Portable.moneySumSql("value")} AS sum_value
       |FROM events
       |JOIN (SELECT unnest(range(0, 100)) AS seg_user) segs
       |  ON user_id = seg_user

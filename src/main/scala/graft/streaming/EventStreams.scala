@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.functions.{Portable => P}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -38,7 +39,7 @@ object EventStreams {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), P.moneySum(col("value")).as("sum_value"))
     runToCompletion(agg, "complete", queryName)
       .select(
         unix_timestamp(col("window.start")).as("wstart"),
@@ -50,7 +51,7 @@ object EventStreams {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), P.moneySum(col("value")).as("sum_value"))
     runToCompletion(agg, "complete", queryName)
       .select(unix_timestamp(col("window.start")).as("wstart"), col("n"), col("sum_value"))
   }
@@ -63,7 +64,7 @@ object EventStreams {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), P.moneySum(col("value")).as("sum_value"))
     runToCompletion(agg, "append", queryName)
       .select(
         col("user_id"),
@@ -87,7 +88,7 @@ object EventStreams {
       .join(org.apache.spark.sql.functions.broadcast(segments),
         col("user_id") === col("seg_user"))
       .groupBy(window(col("ts"), "60 minutes"), col("segment"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), P.moneySum(col("value")).as("sum_value"))
     runToCompletion(agg, "complete", queryName)
       .select(
         unix_timestamp(col("window.start")).as("wstart"),
@@ -123,7 +124,7 @@ object EventStreams {
     val agg = readEvents(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), P.moneySum(col("value")).as("sum_value"))
       .select(
         unix_timestamp(col("window.start")).as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
