@@ -177,7 +177,16 @@ object CorpusOps2 {
         .filter(size(col("toks")) >= 1)
       val sigs = ts.select(col("doc_id"), expr("minhash_sig(toks, 16)").as("sig"))
       val th = ts.select(col("doc_id"), Portable.md5Sorted(col("toks")).as("th"))
-      val a = th.filter(col("doc_id") % 20 === 0)
+      // The probe side is a FIXED-SIZE sample (~300 docs), not a
+      // fixed fraction: `doc_id % 20` made the pair space 0.05·n² —
+      // quadratic, measured 16x cost at 10x data. The modulus scales
+      // with the corpus (count/300, floor 20) so audited pairs stay
+      // ~300·n: linear, and ~300 probes per similarity bucket is
+      // plenty to estimate a mean absolute sketch error.
+      val mod = ts.select(greatest(lit(20L),
+        ceil(count(lit(1)) / 300.0).cast("long")).as("mod"))
+      val a = th.crossJoin(broadcast(mod))
+        .filter(col("doc_id") % col("mod") === 0)
         .select(col("doc_id").as("doc_a"), col("th").as("ta"))
       val b = th.select(col("doc_id").as("doc_b"), col("th").as("tb"))
       b.join(broadcast(a), col("doc_b") =!= col("doc_a"))
@@ -203,11 +212,13 @@ object CorpusOps2 {
       |  SELECT doc_id, seed, min(${Portable.md5LongSql("concat(seed, ':', tok)")}) AS minh
       |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
       |  GROUP BY 1, 2),
+      |md AS (SELECT greatest(20, CAST(ceil(count(*) / 300.0) AS BIGINT)) AS m FROM ts),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    len(list_intersect(a.toks, b.toks)) /
       |      len(list_distinct(list_concat(a.toks, b.toks))) AS jac
-      |  FROM ts a JOIN ts b ON a.doc_id % 20 = 0 AND b.doc_id <> a.doc_id),
+      |  FROM ts a CROSS JOIN md JOIN ts b
+      |    ON a.doc_id % md.m = 0 AND b.doc_id <> a.doc_id),
       |m AS (
       |  SELECT p.doc_a, p.doc_b,
       |    sum(CASE WHEN x.minh = y.minh THEN 1 ELSE 0 END) AS matches

@@ -214,6 +214,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("vecdist2"), "distance must be the codegen'd kernel")
   }
 
+  test("q60: sketch aggregate never sees a multi-distinct Expand") {
+    val df = q("q60_approx_aggregates")
+    df.collect()
+    val s = planString(df)
+    // two COUNT(DISTINCT x) in one aggregate trigger Catalyst's
+    // Expand (3x every input row) and drag the percentile/HLL sketch
+    // buffers through the widened shuffle — measured 6x the query.
+    // The split shape (sketches in one pass, each exact distinct as
+    // its own two-level aggregate, 3-row joins) must stay Expand-free.
+    assert(!s.contains("Expand"),
+      s"q60 must keep sketches out of a distinct Expand:\n${s.take(2500)}")
+    assert(s.contains("BroadcastHashJoin"),
+      s"3-row aggregate joins must broadcast:\n${s.take(2500)}")
+  }
+
   test("q137: HAVING scalar subquery decorrelates (no per-group re-execution)") {
     val df = q("q137_group_share_threshold")
     df.collect()
