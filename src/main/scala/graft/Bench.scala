@@ -46,10 +46,14 @@ object Bench {
     // so co-tenant noise is distinguishable from plan regression in
     // the artifact itself: a slow query with a large spread was
     // interfered with; a slow query with a tight spread got slower.
+    // SPARK_GRAFT_BENCH_RUNS (default 2) exists for the big scale-up
+    // fixtures, where a second pass of an hour-long sweep buys little.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     val names = Q.registry.filter(_.bench).map(_.name).sorted
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable =>

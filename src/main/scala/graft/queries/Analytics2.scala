@@ -793,7 +793,99 @@ object Analytics2 {
       |    AS region_share
       |FROM nat ORDER BY r_name, n_name""".stripMargin))
 
+  /** Exponentially-weighted moving average of each customer's order
+    * values — the time-series smoother behind drift monitors and
+    * spend forecasting. EWMA is a sequential recurrence
+    * (sₙ = 0.2·xₙ + 0.8·sₙ₋₁), the one shape windows can't express,
+    * so each key's history is folded IN ORDER with one array
+    * aggregate: parallel across keys, sequential only within a key,
+    * array length bounded by per-customer activity (never corpus
+    * size). Both engines seed with the first element and fold
+    * identical doubles in identical order, so the unrounded result is
+    * bit-equal — rounding an EWMA is the half-boundary trap README
+    * documents for quotients.
+    */
+  val q178 = Q(
+    "q178_ewma_order_values",
+    (s, dir) => {
+      Tables.t(s, dir, "orders")
+        .select(col("o_custkey"), struct(
+          col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice")).as("r"))
+        .groupBy("o_custkey")
+        .agg(array_sort(collect_list(col("r"))).as("rs"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("xs", transform(col("rs"), r => r.getField("o_totalprice")))
+        .withColumn("ewma", aggregate(
+          expr("slice(xs, 2, size(xs) - 1)"), col("xs")(0),
+          (acc, x) => acc * lit(0.8) + x * lit(0.2)))
+        .filter(col("n_orders") >= 5)
+        .select(col("o_custkey"), col("n_orders"), col("ewma"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH s AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    list(CAST(o_totalprice AS DOUBLE)
+      |         ORDER BY o_orderdate, o_orderkey) AS xs
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, n_orders,
+      |  list_reduce(xs, (acc, x) -> acc * 0.8 + x * 0.2) AS ewma
+      |FROM s WHERE n_orders >= 5
+      |ORDER BY o_custkey""".stripMargin))
+
+  /** Per-nation revenue trend: the OLS slope of monthly revenue over
+    * a month index. Slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — pure
+    * distributive aggregates, so it scales as one partial+final pass.
+    * Every accumulator is EXACT: x is an int month index, y a 2-dp
+    * money sum carried in decimal, x·y exact in decimal(28,2) — so
+    * the only float op is the final division of identical exact
+    * operands, and the cross-engine result is bit-equal with no
+    * fold-order exposure (the README money-sum discipline applied to
+    * a second-moment statistic).
+    */
+  val q179 = Q(
+    "q179_revenue_trend_slope",
+    (s, dir) => {
+      val monthly = Tables.t(s, dir, "orders")
+        .join(broadcast(Tables.t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("xm"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      monthly
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_months"),
+          sum(col("xm")).as("sx"),
+          sum(col("rev")).as("sy"),
+          sum((col("xm") * col("rev")).cast("decimal(28,4)")).as("sxy"),
+          sum(col("xm") * col("xm")).as("sxx"))
+        .select(col("n_name"), col("n_months"),
+          ((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"))
+        .orderBy("n_name")
+    },
+    Some("""WITH monthly AS (
+      |  SELECT n_name,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS xm,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, count(*) AS n_months,
+      |  CAST(count(*) * sum(CAST(xm * rev AS DECIMAL(28,4))) - sum(xm) * sum(rev) AS DOUBLE) /
+      |  CAST(count(*) * sum(xm * xm) - sum(xm) * sum(xm) AS DOUBLE) AS slope
+      |FROM monthly
+      |GROUP BY 1
+      |ORDER BY n_name""".stripMargin))
+
   val all: Vector[Q] =
     Vector(q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167, q171, q172, q173, q176)
+      q162, q163, q164, q165, q166, q167, q171, q172, q173, q176,
+      q178, q179)
 }

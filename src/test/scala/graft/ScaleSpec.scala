@@ -138,4 +138,45 @@ class ScaleSpec extends SparkSpec {
     val got = binned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == naive)
   }
+
+  test("ScaleUp embedding transform: rotation preserves within-copy " +
+      "geometry, wrap-flip kills cross-rotation similarity") {
+    // the fixture blow-up decorrelates copies by circular shift
+    // (mod 64) plus a sign flip past copy 64; this pins the algebra
+    // the sf1/sf10 fixtures rely on for constant dup density
+    import spark.implicits._
+    val vecs = Seq.tabulate(4)(i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64 + j + 1)))).toDF("vec_id", "embedding")
+    def post(copy: Int) = {
+      val c = lit(copy)
+      val sh = pmod(c, lit(64))
+      val rotated = when(sh === 0, col("embedding"))
+        .otherwise(concat(
+          slice(col("embedding"), sh + 1, lit(64) - sh),
+          slice(col("embedding"), lit(1), sh)))
+      vecs.withColumn("embedding",
+        when(c < 64, rotated).otherwise(transform(rotated, x => -x)))
+    }
+    def rows(copy: Int): Map[Long, Array[Double]] =
+      post(copy).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val base = rows(0)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (copy <- Seq(1, 63, 64, 65, 99)) {
+      val m = rows(copy)
+      assert(m.values.forall(_.length == 64), s"copy $copy truncated a vector")
+      // a permutation (± global sign) is orthogonal: all pairwise
+      // dots within the copy equal the base copy's, to the ulp
+      for (i <- 0L to 3L; j <- 0L to 3L)
+        assert(math.abs(dot(m(i), m(j)) - dot(base(i), base(j))) < 1e-9,
+          s"copy $copy changed within-copy geometry at ($i,$j)")
+    }
+    // copies 0 and 64 share the identity rotation; the sign flip must
+    // send their vector pairs to cosine -1, not +1
+    val m64 = rows(64)
+    for (i <- 0L to 3L)
+      assert(math.abs(dot(base(i), m64(i)) + dot(base(i), base(i))) < 1e-9,
+        s"copy 64 must be the NEGATED base vector (cosine -1) at $i")
+  }
 }
