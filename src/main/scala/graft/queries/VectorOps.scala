@@ -463,5 +463,81 @@ object VectorOps {
       |  ON e.query_id = p.pq AND e.cand_id = p.pc
       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q48, q49, q50, q51, q52, q66, q67, q139, q146)
+  /** SemDeDup whose cell count GROWS with the corpus — the 100 TB
+    * shape q139 can't reach. q139 (and q67) pair within label-derived
+    * IVF cells, but that cell COUNT is fixed, so cells grow linearly
+    * with the corpus and pair volume quadratically (q139 measured
+    * 175× cost at 10× data on the sf10 fixtures). Here the coarse
+    * quantizer is SAMPLED FROM THE DATA — every √n-th vec_id is a
+    * seed — so cell count k ≈ √n grows with the corpus and tracks
+    * data density (dense regions contribute proportionally more
+    * seeds), and exact cosine runs only within a seed's cell. k ≈ √n
+    * is the classic IVF balance point: assignment costs n·k = n^1.5
+    * and the pair stage Σ cellᵢ² ≈ n·√n = n^1.5 — both stages
+    * sub-quadratic (≈31× at 10× data vs q139's measured 175×), and a
+    * second quantizer level applied recursively would take assignment
+    * to ~linear. This is IVF with a sampled coarse quantizer (the
+    * standard construction when k-means is too expensive); the
+    * tradeoff is recall at cell boundaries, which SemDeDupSpec
+    * measures against brute-force ground truth alongside q139's own
+    * cell-scoped recall — approximation with a measured error, as for
+    * q146's recall@10 and q60's sketch bounds.
+    */
+  val q180 = Q(
+    "q180_semdedup_scaled",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val step = e.select(greatest(lit(16L),
+        ceil(sqrt(count(lit(1)))).cast("long")).as("step"))
+      val seeds = e.crossJoin(broadcast(step))
+        .filter(pmod(col("vec_id"), col("step")) === 0)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("svec"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("d2", round(V.dist2("embedding", "svec"), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("seed_id"), col("embedding"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.seed_id").as("cell"))
+        .withColumn("nrm", V.norm("embedding"))
+      val a = assigned.select(col("vec_id").as("keeper_cand"), col("cell"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("vec_id").as("dropped"), col("cell").as("cellb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("cell") === col("cellb") && col("keeper_cand") < col("dropped"))
+        .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.35)
+        .groupBy("dropped")
+        .agg(
+          min("keeper_cand").as("keeper"),
+          max("cos").as("max_cos"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("dropped")
+    },
+    Some(s"""WITH st AS (
+      |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS svec
+      |  FROM embeddings CROSS JOIN st WHERE vec_id % st.step = 0),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell,
+      |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, s.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(${V.dist2Sql("e.embedding", "s.svec")}, 6), s.seed_id) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS keeper_cand, b.vec_id AS dropped,
+      |    round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT dropped, min(keeper_cand) AS keeper, max(cos) AS max_cos,
+      |  count(*) AS n_dups
+      |FROM pairs WHERE cos >= 0.35
+      |GROUP BY dropped ORDER BY dropped""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q48, q49, q50, q51, q52, q66, q67, q139, q146, q180)
 }
