@@ -136,19 +136,25 @@ object Aggregates {
       |ORDER BY c_nationkey""".stripMargin))
 
   /** Exact percentiles (linear interpolation in both engines).
-    * At 100 TB you'd use percentile_approx; the exact form stays in
-    * the oracle-checked set because approx sketches are
-    * engine-specific.
+    * At 100 TB you'd usually reach for percentile_approx; the exact
+    * form stays in the oracle-checked set because approx sketches are
+    * engine-specific — and it stays SCALABLE by reducing to a
+    * (value, freq) histogram first: l_quantity has ≤50 distinct
+    * values, so the frequency-weighted percentile buffers 50 rows
+    * per group instead of every group member (the q125 pattern —
+    * exact percentiles over low-cardinality domains never need a
+    * data-proportional buffer).
     */
   val q19 = Q(
     "q19_percentiles_quantity",
     (s, dir) => {
       t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("f"))
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+          round(expr("percentile(l_quantity, 0.5, f)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9, f)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.99, f)"), 4).as("p99"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,

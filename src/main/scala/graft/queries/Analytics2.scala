@@ -730,11 +730,16 @@ object Analytics2 {
         .filter(col("s0").isNotNull && col("p0").isNotNull &&
           col("p0") >= col("s0"))
         .select(floor((col("p0") - col("s0")) / 60).as("mins"))
-      per.agg(
-        count(lit(1)).as("n_users"),
-        min("mins").as("min_mins"),
-        round(median(col("mins")), 1).as("median_mins"),
-        round(expr("percentile(mins, 0.9)"), 1).as("p90_mins"))
+      // histogram-fed quantiles (q125 pattern): the latency domain is
+      // bounded by the observation window in minutes, not by the user
+      // count, so the global percentile buffer stays constant-size at
+      // any corpus scale
+      per.groupBy("mins").agg(count(lit(1)).as("f"))
+        .agg(
+          sum("f").as("n_users"),
+          min("mins").as("min_mins"),
+          round(expr("percentile(mins, 0.5, f)"), 1).as("median_mins"),
+          round(expr("percentile(mins, 0.9, f)"), 1).as("p90_mins"))
     },
     Some("""WITH per AS (
       |  SELECT CAST(floor((p0 - s0) / 60) AS BIGINT) AS mins FROM (
