@@ -332,9 +332,23 @@ object Analytics2 {
   /** RFM segmentation: per customer, recency (days since last
     * order), frequency (order count), monetary (total spend), each
     * cut at its corpus median into Hi/Lo — eight segment cells with
-    * counts. Medians are exact singletons computed once and
+    * counts. The three medians are exact singletons computed once and
     * broadcast; the boundary values sit on real data points so the
     * Hi/Lo comparison is exact, not float-fuzzy.
+    *
+    * The medians are Dist.globalRank selections, NOT `median()`: the
+    * monetary column is continuous, so the histogram trick that
+    * bounds q19/q125's percentile buffers doesn't apply, and
+    * `median()` over one global group would buffer every customer in
+    * a single aggregation buffer. Rank-selecting the two middle
+    * values and averaging them reproduces median()'s interpolation
+    * (identical middle operands; when they differ they are ≥ one cent
+    * apart, so the threshold sits strictly between data points and no
+    * Hi/Lo verdict can flip on representation). All THREE metrics go
+    * through ONE rank pass — stacked as (metric, value) with ranks
+    * offset by metric block — because globalRank's fixed costs
+    * (range partition, checkpoint pin, offsets round-trip) dominate
+    * at bench scale and don't triple-pay when batched.
     */
   val q161 = Q(
     "q161_rfm_segments",
@@ -350,9 +364,27 @@ object Analytics2 {
         .select(col("o_custkey"),
           floor((col("t") - col("last_t")) / 86400).as("r"),
           col("f"), col("m"))
-      val med = rfm.agg(
-        median(col("r")).as("mr"), median(col("f")).as("mf"),
-        median(col("m")).as("mm"))
+      // value at ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ (equal when n is odd)
+      // per metric block, averaged — ties among equal values are
+      // rank-order irrelevant because the selected VALUE is the same
+      val stacked = rfm.select(explode(array(
+          struct(lit(0).as("g"), col("r").cast("double").as("v")),
+          struct(lit(1).as("g"), col("f").cast("double").as("v")),
+          struct(lit(2).as("g"), col("m").as("v")))).as("x"))
+        .select(col("x.g").as("g"), col("x.v").as("v"))
+      val ranked = graft.functions.Dist.globalRank(
+        stacked, Seq(col("g"), col("v")), "rk", 8)
+      val n = ranked.agg(max("rk")).head().getLong(0) / 3
+      val lo = (n + 1) / 2
+      val hi = n / 2 + 1
+      val med = ranked
+        .filter(col("rk") - col("g") * n === lo ||
+          col("rk") - col("g") * n === hi)
+        .groupBy("g").agg((sum("v") / count(lit(1))).as("mv"))
+        .agg(
+          max(when(col("g") === 0, col("mv"))).as("mr"),
+          max(when(col("g") === 1, col("mv"))).as("mf"),
+          max(when(col("g") === 2, col("mv"))).as("mm"))
       rfm.crossJoin(broadcast(med))
         .groupBy(
           when(col("r") <= col("mr"), "recentHi").otherwise("recentLo").as("recency"),
