@@ -20,6 +20,26 @@ final case class Q(
     bench: Boolean = true)
 
 object Q {
+
+  /** Pedagogical quadratic baselines — correct at every tested SF but
+    * blocked on FIXED-cardinality keys ((lang,source) / label /
+    * label-centroid cells), so their pair volume grows quadratically
+    * with the corpus (q139 measured 175× cost at 10× data). A
+    * registry entry is the product surface, and at 100 TB these are
+    * outage-shaped, so they live OUTSIDE the registry: the scale-safe
+    * forms hold the registry slots (q41 MinHash-LSH / q42 SimHash for
+    * text near-dup, q180 sampled-quantizer SemDeDup for embeddings)
+    * and these stay available for recall audits (SemDeDupSpec), plan
+    * pins (PlanSpec) and brute-force parity checks (BaselineSpec).
+    */
+  def baselines: Vector[Q] = Vector(
+    queries.TextOps.q40, queries.VectorOps.q67, queries.VectorOps.q139)
+
+  /** Lookup across registry + demoted baselines (specs use this). */
+  def byName(name: String): Q =
+    (registry ++ baselines).find(_.name == name)
+      .getOrElse(sys.error(s"no such query: $name"))
+
   /** All query modules, in SURVEY.md §2 category order. */
   def registry: Vector[Q] =
     queries.Relational.all ++

@@ -78,6 +78,12 @@ object TextOps {
     * one codegen'd merge scan over the sorted hash arrays. (q43 keeps
     * the shared-item join: shingle overlap is SPARSE, where exploding
     * by item prunes the pair space instead of inflating it.)
+    *
+    * DEMOTED quadratic baseline (round 5, [[graft.Q.baselines]]):
+    * (lang, source) has FIXED cardinality, so blocks grow linearly
+    * with the corpus and pair volume quadratically. q41/q42 hold the
+    * registry slots; BaselineSpec pins this one against a driver-side
+    * brute force and PlanSpec pins its exchange reuse.
     */
   val q40 = Q(
     "q40_dedup_jaccard_blocked",
@@ -485,5 +491,7 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin))
 
-  val all: Vector[Q] = Vector(q39, q40, q41, q42, q43, q44, q45, q46, q47)
+  // q40 is a demoted quadratic baseline (see Q.baselines) — q41/q42
+  // hold the near-dup registry slots.
+  val all: Vector[Q] = Vector(q39, q41, q42, q43, q44, q45, q46, q47)
 }

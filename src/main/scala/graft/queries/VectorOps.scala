@@ -280,6 +280,11 @@ object VectorOps {
   /** Embedding-cosine near-dup detection, blocked by label (the
     * metadata-blocking pattern: exact cosine only within a block, so
     * pair volume is Σ blockᵢ² — same scale shape as the text dedups).
+    *
+    * DEMOTED quadratic baseline (round 5, [[graft.Q.baselines]]):
+    * label cardinality is fixed, so this is quadratic in corpus size.
+    * q180 holds the registry slot; BaselineSpec pins this one against
+    * a driver-side brute force.
     */
   val q67 = Q(
     "q67_dedup_embedding_blocked",
@@ -315,6 +320,12 @@ object VectorOps {
     * Σ cellᵢ² instead of n² — the shape that makes semantic dedup
     * feasible at corpus scale. Threshold compares the ROUNDED cosine
     * so the cut is reproducible cross-engine.
+    *
+    * DEMOTED quadratic baseline (round 5, [[graft.Q.baselines]]):
+    * the label-centroid cell count is fixed, so cells grow linearly
+    * with the corpus (measured 175× cost at 10× data, 1890 s at
+    * sf10). q180's √n sampled quantizer holds the registry slot;
+    * SemDeDupSpec audits both variants' recall vs ground truth.
     */
   val q139 = Q(
     "q139_semdedup_cells",
@@ -538,6 +549,8 @@ object VectorOps {
       |FROM pairs WHERE cos >= 0.35
       |GROUP BY dropped ORDER BY dropped""".stripMargin))
 
+  // q67/q139 are demoted quadratic baselines (see Q.baselines) —
+  // q180 holds the embedding near-dup registry slot.
   val all: Vector[Q] =
-    Vector(q48, q49, q50, q51, q52, q66, q67, q139, q146, q180)
+    Vector(q48, q49, q50, q51, q52, q66, q146, q180)
 }

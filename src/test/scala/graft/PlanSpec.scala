@@ -19,7 +19,7 @@ class PlanSpec extends SparkSpec {
   }
 
   private def q(name: String): DataFrame =
-    Q.registry.find(_.name == name).get.fn(spark, sf())
+    Q.byName(name).fn(spark, sf())
 
   test("q01: filter is pushed to the parquet scan and columns are pruned") {
     val s = q("q01_pricing_summary").queryExecution.executedPlan.toString

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 class SemDeDupSpec extends SparkSpec {
 
   private def drops(name: String): Set[Long] =
-    Q.registry.find(_.name == name).get.fn(spark, sf("sf0.01"))
+    Q.byName(name).fn(spark, sf("sf0.01"))
       .collect()
       .map(r => r.getLong(r.fieldIndex("dropped")))
       .toSet
