@@ -32,6 +32,13 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("fixtures/sf1")
     val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    // Copy 128 would repeat copy 64's negated-identity rotation and
+    // re-inflate cross-copy dup density past the constant-density
+    // contract the embedding transform guarantees (see the transform
+    // comment below) — refuse rather than silently produce it.
+    require(copies >= 1 && copies <= 128,
+      s"copies must be in [1, 128] (got $copies): the embedding " +
+        "decorrelation scheme is only valid to 128 copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -118,40 +118,57 @@ object Extended {
     * plus within-bound verdicts, which DuckDB CAN hash-match (its
     * side asserts TRUE). Bounds: HLL default rsd is 0.05, verdict
     * allows 3σ = 15%; percentile_approx with accuracy 10000 has rank
-    * error ≤ 1e-4, verdict allows the exact p45..p55 / p85..p95
-    * envelope — both orders of magnitude looser than observed error
-    * yet tight enough that a broken sketch fails the hash compare.
-    * ApproxSpec additionally bounds the raw sketch error at 5%.
+    * error ≤ 1e-4, verdict allows a ±0.05-rank envelope from an
+    * INDEPENDENT source (exact histogram for the bounded quantity
+    * domain, a second sketch at accuracy 2000 for the continuous
+    * price) — orders of magnitude looser than observed error yet
+    * tight enough that a broken sketch fails the hash compare.
+    * ApproxSpec additionally bounds both raw sketches' error.
     */
   val q60 = Q(
     "q60_approx_aggregates",
     (s, dir) => {
       val li = Tables.t(s, dir, "lineitem")
-      // The audit bands are themselves sketches, NOT exact
-      // percentile(): exact percentile buffers every value per
-      // group (the one aggregate here that cannot stream at 100 TB
-      // — it cost 8x the whole query at sf0.1). At accuracy 10⁴
-      // the band endpoints carry ≤1e-4 rank error against a ±0.05
-      // rank band, so `p50 within [q45, q55]` still holds with
-      // 0.0498 rank to spare — the bound stays a guarantee, and
-      // every aggregate in the query is now mergeable/streaming.
+      // No aggregate here buffers raw values: exact percentile over
+      // the raw column would buffer every value per group (it cost
+      // 8x the whole query at sf0.1), so everything below is a
+      // sketch or a constant-size histogram — mergeable/streaming.
       // Two structural choices, measured at sf0.1, 6x combined:
       // one sketch per column (the array form) instead of one per
       // percentile, and the exact COUNT(DISTINCT)s as their own
       // two-level aggregates rather than in the sketch aggregate —
       // multiple-distinct triggers Catalyst's Expand (3x every row)
       // and drags every sketch buffer through the widened shuffle.
+      // The audited sketch must NOT supply its own band: a single
+      // percentile_approx array is monotone by construction, so
+      // "p50 within [p45, p55] of the same sketch" can never fail.
+      // Each band therefore comes from an INDEPENDENT source:
+      //  - l_quantity has a bounded integer domain, so its p45/p55
+      //    band is EXACT via the (value, freq)-histogram percentile
+      //    (the q19 pattern — constant-size buffers, streams fine);
+      //  - l_extendedprice is continuous, so its band is a SECOND
+      //    sketch at accuracy 2000 (a separate aggregate buffer:
+      //    rank error ≤ 5e-4 against a ±0.05 rank envelope, so the
+      //    verdict is still a guarantee, but a broken p90 sketch
+      //    now fails it).
       val sketches = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asu"),
-        percentile_approx(col("l_quantity"),
-          array(lit(0.45), lit(0.5), lit(0.55)), lit(10000)).as("pq"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50q"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          .as("p90e"),
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.85), lit(0.9), lit(0.95)), lit(10000)).as("pe"))
+          array(lit(0.85), lit(0.95)), lit(2000)).as("bande"))
+      val bandQ = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("freq"))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.45, 0.55), freq)")
+          .as("bandq"))
       def exactDistinct(key: String, as: String) =
         li.select(col("l_returnflag"), col(key)).distinct
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
       sketches
+        .join(bandQ, "l_returnflag")
         .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
         .join(exactDistinct("l_suppkey", "exact_supps"), "l_returnflag")
         .select(
@@ -160,8 +177,8 @@ object Extended {
             .as("parts_ok"),
           (abs(col("asu") - col("exact_supps")) <= col("exact_supps") * 0.15)
             .as("supps_ok"),
-          col("pq")(1).between(col("pq")(0), col("pq")(2)).as("p50_ok"),
-          col("pe")(1).between(col("pe")(0), col("pe")(2)).as("p90_ok"))
+          col("p50q").between(col("bandq")(0), col("bandq")(1)).as("p50_ok"),
+          col("p90e").between(col("bande")(0), col("bande")(1)).as("p90_ok"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,

@@ -132,10 +132,14 @@ object PipelineOps2 {
   val q177 = Q(
     "q177_export_jsonl",
     (s, dir) => {
-      // per-sfDir output path: sf0.01 and sf1 runs don't clobber each
-      // other, and re-runs overwrite deterministically
+      // per-sfDir AND per-JVM output path: sf0.01 and sf1 runs don't
+      // clobber each other, re-runs within a JVM overwrite
+      // deterministically, and two concurrent JVMs over the same
+      // sfDir (a Verify next to a Bench) can't race one another's
+      // manifest scan with a mid-read overwrite
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) + "_p" +
+        ProcessHandle.current().pid()
       graft.pipeline.TrainingExport.exportJsonl(docs(s, dir), out, shards = 8)
     },
     Some(graft.pipeline.TrainingExport.manifestOracleSql("documents", shards = 8)))

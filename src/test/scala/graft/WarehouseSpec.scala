@@ -68,6 +68,8 @@ class WarehouseSpec extends SparkSpec {
       Seq("o_custkey"), 8, sortCols = Seq("o_custkey")) == "orders_wb")
     assert(wh.createBucketed("customer_wb", c,
       Seq("c_custkey"), 8, sortCols = Seq("c_custkey")) == "customer_wb")
+    val savedThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = spark.table("orders_wb")
@@ -81,7 +83,10 @@ class WarehouseSpec extends SparkSpec {
         s"co-bucketed join must not shuffle its inputs:\n${plan.take(2000)}")
       assert(joined.agg(sum("count")).head().getLong(0) == o.count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      savedThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
       wh.drop("orders_wb"); wh.drop("customer_wb")
     }
   }
