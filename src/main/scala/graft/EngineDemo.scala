@@ -38,8 +38,10 @@ object EngineDemo {
     println(s"[demo] ingested table=${r.table} delim='${r.delimiter}' rows=${r.rowCount}")
     r.columns.foreach { case (n, t) => println(s"[demo]   column $n: $t") }
 
-    // 3. catalog: external table + info
+    // 3. catalog: external table + info, after the deploy smoke probe
+    //    (the reference's disabled test_table_creation, now working)
     val wh = new Warehouse(spark)
+    println(s"[demo] warehouse selftest ok=${wh.selfTest().ok}")
     wh.drop("sales_ext")
     wh.createExternalCsv("sales_ext", loc, header = true, delimiter = ";")
     val info = wh.info("sales_ext")

@@ -62,6 +62,30 @@ object HiveDemo {
       .collect()
     joined.foreach(r => println(s"[hive] ${r.getString(0)} amt=${r.getDouble(1)} total=${r.getDouble(2)}"))
 
+    // partitioned external table + MSCK REPAIR on the REAL metastore:
+    // with Hive-managed filesource partitions the table sees ZERO
+    // rows until recoverPartitions registers the directory layout —
+    // the S6 contract the in-memory catalog can't exhibit (it lists
+    // files directly). Layout: region=asia/ and region=eu/ CSV parts.
+    val pdir = Files.createTempDirectory("graft-hive-part")
+    Files.createDirectories(pdir.resolve("region=asia"))
+    Files.createDirectories(pdir.resolve("region=eu"))
+    Files.writeString(pdir.resolve("region=asia/part-0.csv"), "7.5\n7.5\n")
+    Files.writeString(pdir.resolve("region=eu/part-0.csv"), "7.25\n1.0\n")
+    val part = w.createExternalCsvPartitioned("hive_part_sales",
+      pdir.toString, Seq("amount" -> "DOUBLE"), Seq("region" -> "STRING"))
+    val before = spark.table(part).count()
+    w.recoverPartitions(part)
+    println(s"[hive] partitioned: rows before msck=$before " +
+      s"after=${spark.table(part).count()} " +
+      s"partitions=${w.partitions(part).mkString(",")}")
+    w.drop(part)
+    println(s"[hive] partitioned dropped; part file still present=" +
+      Files.exists(pdir.resolve("region=asia/part-0.csv")))
+
+    // the deploy smoke probe, on the production catalog
+    println(s"[hive] selftest ok=${w.selfTest().ok}")
+
     // EXTERNAL semantics survive the real metastore: drop keeps data
     w.drop(ext)
     w.drop(mng)

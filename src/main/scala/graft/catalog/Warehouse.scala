@@ -98,9 +98,47 @@ final class Warehouse(spark: SparkSession) {
       external)
   }
 
-  /** MSCK REPAIR TABLE equivalent (hive_manager.py:334-349). */
+  /** REFRESH TABLE: invalidate cached file listings/metadata after
+    * out-of-band writes (hive_manager.py:334-349's lighter half).
+    */
   def refresh(name: String): Unit =
     spark.sql(s"REFRESH TABLE ${ident(name)}")
+
+  /** CREATE EXTERNAL TABLE ... PARTITIONED BY over an existing
+    * directory layout (`path/col=value/...`) — the reference's S4
+    * external-table shape for partitioned data. Columns and partition
+    * columns are explicit DDL (no inference: partition files carry no
+    * header for the partition cols). Against a Hive metastore the
+    * table starts with ZERO visible partitions until
+    * [[recoverPartitions]] registers them — Hive's actual S6
+    * contract, which HiveDemo proves on a real Derby HMS.
+    */
+  def createExternalCsvPartitioned(
+      name: String, path: String,
+      columns: Seq[(String, String)], partitionCols: Seq[(String, String)],
+      header: Boolean = false, delimiter: String = ","): String = {
+    val t = graft.types.Types.sanitizeTableName(name)
+    val colDdl = (columns ++ partitionCols)
+      .map { case (n, tp) => s"${q(n)} $tp" }.mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE ${q(t)} ($colDdl) USING CSV
+         |OPTIONS (path ${lit(path)}, header '$header', sep ${lit(delimiter)})
+         |PARTITIONED BY (${partitionCols.map(p => q(p._1)).mkString(", ")})""".stripMargin)
+    t
+  }
+
+  /** MSCK REPAIR TABLE — walk the table's directory layout and
+    * register every `col=value` partition with the catalog
+    * (hive_manager.py:334-349). Required before a metastore-managed
+    * partitioned external table returns any rows.
+    */
+  def recoverPartitions(name: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE ${ident(name)}")
+
+  /** SHOW PARTITIONS (partition-pruning surface of S6). */
+  def partitions(name: String): Seq[String] =
+    spark.sql(s"SHOW PARTITIONS ${ident(name)}")
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** Hive `ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]`
     * — the (D)-surface DDL that feeds the cost-based optimizer. At
@@ -209,6 +247,52 @@ final class Warehouse(spark: SparkSession) {
     * hive_manager.py:152).
     */
   def healthy(): Boolean = health().ok
+
+  final case class SelfTest(
+      created: Boolean, probed: Boolean,
+      dropped: Boolean, dataPreserved: Boolean) {
+    def ok: Boolean = created && probed && dropped && dataPreserved
+  }
+
+  /** Deploy smoke probe: the reference ships a (disabled) warehouse
+    * self-test that creates a known external table, probes it, and
+    * drops it (hive_manager.py:351-384, call commented out at
+    * app.py:68-77). This is its working counterpart, extended to
+    * verify the EXTERNAL contract end-to-end: write a 2-row CSV to a
+    * scratch dir, register it, probe row count, drop, then prove the
+    * drop left the data behind by re-registering the same files and
+    * counting again. Every created object is cleaned up, including on
+    * failure; the table name carries the JVM pid so concurrent probes
+    * against one metastore can't collide.
+    */
+  def selfTest(scratchDir: Option[String] = None): SelfTest = {
+    val dir = new org.apache.hadoop.fs.Path(
+      scratchDir.getOrElse(System.getProperty("java.io.tmpdir")),
+      s"graft_selftest_p${ProcessHandle.current().pid()}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table = s"graft_selftest_p${ProcessHandle.current().pid()}"
+    def count2(name: String): Boolean =
+      exists(name) && info(name).rowCount == 2L
+    try {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "probe.csv"), true)
+      try out.write("id,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+      finally out.close()
+      val created =
+        try createExternalCsv(table, dir.toString) == table
+        catch { case _: Exception => false }
+      val probed = created && count2(table)
+      val dropped = created && { drop(table); !exists(table) }
+      // EXTERNAL semantics: the files must survive the drop — prove it
+      // by re-registering the same location and probing again
+      val dataPreserved = dropped &&
+        fs.exists(new org.apache.hadoop.fs.Path(dir, "probe.csv")) &&
+        { createExternalCsv(table, dir.toString); count2(table) }
+      SelfTest(created, probed, dropped, dataPreserved)
+    } finally {
+      try drop(table) catch { case _: Exception => () }
+      try fs.delete(dir, true) catch { case _: Exception => () }
+    }
+  }
 
   private def q(n: String) = graft.types.Types.quote(n)
 

@@ -30,5 +30,14 @@ class HiveDemoSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(o.contains("healthy=true"), o.takeRight(2000))
     assert(o.contains("rows=3 external=true"), o.takeRight(2000))
     assert(o.contains("csv still present=true"), o.takeRight(2000))
+    // S6 on the production path: Hive-managed partitions are invisible
+    // until MSCK REPAIR registers them, then both show up
+    assert(o.contains(
+      "partitioned: rows before msck=0 after=4 partitions=region=asia,region=eu"),
+      o.takeRight(2000))
+    assert(o.contains("partitioned dropped; part file still present=true"),
+      o.takeRight(2000))
+    // the deploy smoke probe runs green against the real metastore
+    assert(o.contains("selftest ok=true"), o.takeRight(2000))
   }
 }
