@@ -485,45 +485,25 @@ object VectorOps {
     * seeds), and exact cosine runs only within a seed's cell. k ≈ √n
     * is the classic IVF balance point: assignment costs n·k = n^1.5
     * and the pair stage Σ cellᵢ² ≈ n·√n = n^1.5 — both stages
-    * sub-quadratic (≈31× at 10× data vs q139's measured 175×), and a
-    * second quantizer level applied recursively would take assignment
-    * to ~linear. This is IVF with a sampled coarse quantizer (the
+    * sub-quadratic (≈31× at 10× data vs q139's measured 175×). This
+    * is IVF with a sampled coarse quantizer (the
     * standard construction when k-means is too expensive); the
     * tradeoff is recall at cell boundaries, which SemDeDupSpec
     * measures against brute-force ground truth alongside q139's own
     * cell-scoped recall — approximation with a measured error, as for
     * q146's recall@10 and q60's sketch bounds.
+    *
+    * The assignment/keeper machinery lives in
+    * [[graft.pipeline.SemDeDup]]; `cellAssign` switches to a second
+    * quantizer level once the seed set outgrows broadcast comfort
+    * (q181 pins that regime with its own oracle, ScaleSpec proves the
+    * switch triggers).
     */
   val q180 = Q(
     "q180_semdedup_scaled",
-    (s, dir) => {
-      val e = emb(s, dir)
-      val step = e.select(greatest(lit(16L),
-        ceil(sqrt(count(lit(1)))).cast("long")).as("step"))
-      val seeds = e.crossJoin(broadcast(step))
-        .filter(pmod(col("vec_id"), col("step")) === 0)
-        .select(col("vec_id").as("seed_id"), col("embedding").as("svec"))
-      val assigned = e.crossJoin(broadcast(seeds))
-        .withColumn("d2", round(V.dist2("embedding", "svec"), 6))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("seed_id"), col("embedding"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.seed_id").as("cell"))
-        .withColumn("nrm", V.norm("embedding"))
-      val a = assigned.select(col("vec_id").as("keeper_cand"), col("cell"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = assigned.select(col("vec_id").as("dropped"), col("cell").as("cellb"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("cell") === col("cellb") && col("keeper_cand") < col("dropped"))
-        .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.35)
-        .groupBy("dropped")
-        .agg(
-          min("keeper_cand").as("keeper"),
-          max("cos").as("max_cos"),
-          count(lit(1)).as("n_dups"))
-        .orderBy("dropped")
-    },
+    (s, dir) =>
+      graft.pipeline.SemDeDup.dedupReport(
+        graft.pipeline.SemDeDup.cellAssign(emb(s, dir)), 0.35),
     Some(s"""WITH st AS (
       |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
       |  FROM embeddings),
@@ -549,8 +529,77 @@ object VectorOps {
       |FROM pairs WHERE cos >= 0.35
       |GROUP BY dropped ORDER BY dropped""".stripMargin))
 
+  /** q180's two-level quantizer regime, pinned as its own registry
+    * entry. Past n ≈ 10⁹ the √n seed set itself outgrows broadcast
+    * comfort (~300 MB at n = 10¹⁰, d = 768), so
+    * [[graft.pipeline.SemDeDup.cellAssignTwoLevel]] recurses the
+    * sampled quantizer once: only the n^¼ SUPER-seeds are broadcast,
+    * seeds are reached through an equi-join on the super-cell key,
+    * and assignment work drops from n^1.5 to n^1.25. This query
+    * forces that path at every SF (the production switch in
+    * `cellAssign` is seed-count-driven; ScaleSpec proves it
+    * triggers), so the oracle hash-gate covers the exact plan shape
+    * the engine would run at 100 TB. Super-cell boundary recall is
+    * measured by SemDeDupSpec against brute-force ground truth, like
+    * q180's.
+    */
+  val q181 = Q(
+    "q181_semdedup_2level",
+    (s, dir) => {
+      val e = emb(s, dir)
+      graft.pipeline.SemDeDup.dedupReport(
+        graft.pipeline.SemDeDup.cellAssignTwoLevel(
+          e, graft.pipeline.SemDeDup.steps(e)), 0.35)
+    },
+    Some(s"""WITH st AS (
+      |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS svec
+      |  FROM embeddings CROSS JOIN st WHERE vec_id % st.step = 0),
+      |kc AS (
+      |  SELECT greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m
+      |  FROM seeds),
+      |ss AS (
+      |  SELECT seed_id AS ss_id, svec AS ssvec
+      |  FROM seeds CROSS JOIN st CROSS JOIN kc
+      |  WHERE seed_id % (st.step * kc.m) = 0),
+      |seedcell AS (
+      |  SELECT scell, seed_id, svec FROM (
+      |    SELECT s.seed_id, s.svec, x.ss_id AS scell,
+      |      row_number() OVER (PARTITION BY s.seed_id
+      |        ORDER BY round(${V.dist2Sql("s.svec", "x.ssvec")}, 6), x.ss_id) AS rn
+      |    FROM seeds s CROSS JOIN ss x)
+      |  WHERE rn = 1),
+      |vecsuper AS (
+      |  SELECT vec_id, embedding, scell FROM (
+      |    SELECT e.vec_id, e.embedding, x.ss_id AS scell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(${V.dist2Sql("e.embedding", "x.ssvec")}, 6), x.ss_id) AS rn
+      |    FROM embeddings e CROSS JOIN ss x)
+      |  WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell,
+      |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
+      |  FROM (
+      |    SELECT v.vec_id, v.embedding, c.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(${V.dist2Sql("v.embedding", "c.svec")}, 6), c.seed_id) AS rn
+      |    FROM vecsuper v JOIN seedcell c ON v.scell = c.scell)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS keeper_cand, b.vec_id AS dropped,
+      |    round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT dropped, min(keeper_cand) AS keeper, max(cos) AS max_cos,
+      |  count(*) AS n_dups
+      |FROM pairs WHERE cos >= 0.35
+      |GROUP BY dropped ORDER BY dropped""".stripMargin))
+
   // q67/q139 are demoted quadratic baselines (see Q.baselines) —
-  // q180 holds the embedding near-dup registry slot.
+  // q180 holds the embedding near-dup registry slot, q181 pins its
+  // two-level broadcast-safe regime.
   val all: Vector[Q] =
-    Vector(q48, q49, q50, q51, q52, q66, q146, q180)
+    Vector(q48, q49, q50, q51, q52, q66, q146, q180, q181)
 }

@@ -179,4 +179,42 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(dot(base(i), m64(i)) + dot(base(i), base(i))) < 1e-9,
         s"copy 64 must be the NEGATED base vector (cosine -1) at $i")
   }
+
+  test("SemDeDup.cellAssign switches to the two-level quantizer above the seed cap") {
+    import graft.pipeline.SemDeDup
+    val e = Tables.t(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val st = SemDeDup.steps(e)
+    assert(st.k > 2, s"fixture too small to exercise the switch: $st")
+    // disable size-based broadcasting so the plan shows the JOIN KIND
+    // the construction guarantees, not what tiny test inputs allow
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the cap: one explicit broadcast nested-loop of the full
+      // seed set (the k <= cap regime)
+      val one = SemDeDup.cellAssign(e, maxBroadcastSeeds = st.k)
+      val onePlan = one.queryExecution.executedPlan.toString
+      assert("BroadcastNestedLoopJoin".r.findAllIn(onePlan).size == 1,
+        s"one-level path must broadcast the seed set exactly once:\n${onePlan.take(1500)}")
+      // over the cap: the ONLY broadcast frames are the n^1/4
+      // super-seeds (levels A and B); the full seed set is reached
+      // through an equi-join on the super-cell key, which without
+      // broadcasting must plan as a shuffle join — the 100 TB shape
+      val two = SemDeDup.cellAssign(e, maxBroadcastSeeds = st.k - 1)
+      val twoPlan = two.queryExecution.executedPlan.toString
+      assert("BroadcastNestedLoopJoin".r.findAllIn(twoPlan).size == 2,
+        s"two-level path must broadcast only the super-seeds (2 tiny BNLJs):\n${twoPlan.take(1500)}")
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[scell".r
+          .findFirstIn(twoPlan).isDefined,
+        s"seed search must be an equi-join on scell, never a nested loop:\n${twoPlan.take(1500)}")
+      // both regimes produce a total assignment over the same corpus
+      val n = e.count()
+      assert(one.count() == n && two.count() == n)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

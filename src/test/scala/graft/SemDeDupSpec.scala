@@ -37,13 +37,27 @@ class SemDeDupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
   }
 
-  test("q139 and q180 drop sets are sound (subsets of ground truth)") {
+  test("q139, q180 and q181 drop sets are sound (subsets of ground truth)") {
     assert(truth.nonEmpty, "ground truth found no dups — fixture drift?")
-    for (name <- Seq("q139_semdedup_cells", "q180_semdedup_scaled")) {
+    for (name <- Seq("q139_semdedup_cells", "q180_semdedup_scaled",
+        "q181_semdedup_2level")) {
       val extra = drops(name) -- truth
       assert(extra.isEmpty,
         s"$name dropped vectors with no true near-dup neighbour: $extra")
     }
+  }
+
+  test("two-level quantizer q181 recall is within 10 points of one-level q180") {
+    // the second quantizer level trades a bit more boundary recall
+    // (a vector's true nearest seed can sit in a neighbouring
+    // super-cell) for an n^1.25 assignment and an n^¼-sized
+    // broadcast; this pins that the trade stays bounded
+    val r180 = drops("q180_semdedup_scaled").size.toDouble / truth.size
+    val r181 = drops("q181_semdedup_2level").size.toDouble / truth.size
+    info(f"recall vs brute force: q180=$r180%.3f q181=$r181%.3f (truth=${truth.size})")
+    assert(r181 >= r180 - 0.10,
+      f"second quantizer level lost too much recall: q181=$r181%.3f vs q180=$r180%.3f")
+    assert(r181 >= 0.15, f"q181 recall collapsed: $r181%.3f")
   }
 
   test("scaled-quantizer q180 recall is within 10 points of full-cell q139") {
