@@ -43,13 +43,17 @@ object CorpusPrep {
         row_number().over(Window.partitionBy("__th").orderBy("doc_id")))
       .filter(col("__rn") === 1).drop("__th", "__rn")
     // near-dup: LSH band buckets (q41's signatures) → components →
-    // min doc_id per cluster. Only (doc_id, b0, b1) is checkpointed.
+    // min doc_id per cluster. Only (doc_id, nt, b0, b1) — four longs
+    // per doc, never the text — is checkpointed. Carrying nt here is
+    // what lets the pack path run WITHOUT a second tokenize+hash+
+    // window pass over the text: every downstream stage that needs
+    // sizes reads them from this pinned frame.
     val sigs = exact
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("nt"),
         org.apache.spark.sql.GraftSqlBridge.column(MinHashBands(
           org.apache.spark.sql.GraftSqlBridge.expression(
             Portable.tokenSet(col("text"))), 2, 8)).as("bs"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("nt"),
         col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
       .localCheckpoint(true)
     val comp = ConnectedComponents.run(
@@ -58,8 +62,15 @@ object CorpusPrep {
       .withColumn("__rn",
         row_number().over(Window.partitionBy("component").orderBy("doc_id")))
       .filter(col("__rn") === 1)
-      .select("doc_id")
-    exact.join(keep, "doc_id")
+      .select("doc_id", "nt")
+    // Text is joined back from the RAW input, not re-derived through
+    // the gate/dedup windows: survivors are a subset of unique
+    // doc_ids, so an equi-join on the key reproduces (doc_id, text,
+    // nt) exactly, and a caller that prunes `text` (q107's pack path
+    // does) pays a doc_id-only column scan instead of a full
+    // tokenize + md5 + window recompute of the dedup pipeline.
+    keep.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("text"), col("nt"))
   }
 
   /** Pack the prepared corpus into fixed-length training sequences:
@@ -71,11 +82,22 @@ object CorpusPrep {
     */
   def pack(prepared: DataFrame, seqLen: Int = 512): DataFrame = {
     val spark = prepared.sparkSession
+    // Pin the sizing frame before the cumsum: globalCumsum consumes
+    // its input TWICE (the per-bucket-totals action, then the
+    // windowed pass), and `prepared` hangs the whole gate → exact
+    // dedup → LSH → connected-components subtree above this select.
+    // Unpinned, that subtree executes twice per pack() — measured as
+    // ~2× the whole q107. Three longs per kept doc (24 B/doc — even
+    // 10¹⁰ docs pin ~240 GB across a 1000-executor cluster, a
+    // fraction of block-manager memory), vs re-running the dedup
+    // pipeline; on a multi-hour run swap localCheckpoint for
+    // reliable checkpoint.
     val sized = prepared
       .select(col("doc_id"), col("nt"))
       .filter(col("nt") >= 1)
       .withColumn("hk",
         Portable.md5Long(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .localCheckpoint(true)
     Dist.globalCumsum(sized, "hk", Seq("doc_id"), "nt", "cum",
       spark.sparkContext.defaultParallelism)
       .withColumn("st", col("cum") - col("nt"))
