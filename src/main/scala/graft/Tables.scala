@@ -20,13 +20,20 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver fixtures,
-    * which Spark's vectorized reader rejects. Read it as a long
-    * (legacy flag) and truncate ns→µs — exactly what DuckDB does when
-    * it reads the same file — so both engines see identical
-    * microsecond timestamps. The ScaleUp-generated fixtures store µs
-    * timestamps directly (Spark cannot write NANOS); both layouts are
-    * handled here so every query runs unchanged at any sf.
+  /** `events.ts` has shipped in three parquet layouts across driver
+    * fixture generations, and all three must read back as one Spark
+    * type (TIMESTAMP, UTC instant) or every windowed/watermarked query
+    * breaks:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+    *    as long (legacy flag) and truncate ns→µs — exactly what DuckDB
+    *    does reading the same file.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark maps it to
+    *    TIMESTAMP_NTZ, which Structured Streaming event time and
+    *    unix_micros both reject. Cast to TIMESTAMP — with the session
+    *    timezone pinned to UTC the wall-clock reinterpretation is the
+    *    identity, matching DuckDB's naive reading.
+    *  - TIMESTAMP(MICROS, UTC-adjusted) (ScaleUp-written): already
+    *    TIMESTAMP; pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,6 +41,8 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
       case _ => df
     }
   }

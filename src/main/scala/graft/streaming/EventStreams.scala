@@ -27,9 +27,16 @@ object EventStreams {
     val stream =
       if (new java.io.File(src).isDirectory) reader.parquet(src)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs-no-UTC-flag fixtures surface as TIMESTAMP_NTZ, which
+        // event-time watermarks reject; UTC session tz makes the
+        // cast the identity reinterpretation (see Tables.events)
+        stream.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => stream
+    }
   }
 
   /** Tumbling event-time window counts with a watermark, run to
