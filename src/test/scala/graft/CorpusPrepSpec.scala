@@ -30,6 +30,21 @@ class CorpusPrepSpec extends SparkSpec {
     assert(again.select("doc_id").except(prepared.select("doc_id")).isEmpty)
   }
 
+  test("pack plans over the pinned sizing frame, never re-running dedup") {
+    // VERDICT r4 #3: globalCumsum consumes its input twice; without the
+    // localCheckpoint in pack() the whole gate→dedup→LSH→CC subtree
+    // (and its parquet scans) would appear — and execute — twice. The
+    // pin: pack's executed plan reads ONLY the checkpointed RDDs, with
+    // zero file scans left below the cumsum.
+    val packed = CorpusPrep.pack(CorpusPrep.prepare(docs, minTokens = 5), seqLen = 512)
+    packed.write.format("noop").mode("overwrite").save()
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"pack must read the pinned frame, not re-scan files:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan rdd"),
+      s"expected a checkpoint scan in pack's plan:\n$plan")
+  }
+
   test("pack covers every kept token exactly once, in-bound sequences") {
     val packed = CorpusPrep.pack(prepared, seqLen = 512).cache()
     val totalPacked = packed.agg(sum("n_tokens")).head.getLong(0)
