@@ -17,9 +17,10 @@ import graft.graph.ConnectedComponents
   * against the DuckDB oracle (q44/q39/q100+q75/q101), and the whole
   * composition is oracle-checked end-to-end by
   * q107_corpus_prep_pack. Everything stays a lazy DataFrame; the
-  * only materialization is the (doc_id, b0, b1) signature table —
-  * three longs per doc, never the text — pinned before the
-  * component loop reuses it.
+  * only materializations are the (doc_id, nt, b0, b1) signature
+  * table and its band-multiplicity-marked derivative — a handful of
+  * longs per doc, never the text — pinned before the component loop
+  * and the pack cumsum reuse them.
   */
 object CorpusPrep {
 
@@ -56,13 +57,36 @@ object CorpusPrep {
       .select(col("doc_id"), col("nt"),
         col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
       .localCheckpoint(true)
+    // CC bypass for the non-dup bulk: a doc can only cluster with
+    // another doc through a SHARED band value, so a doc whose bands
+    // each occur in exactly one doc is an isolated two-node component
+    // — it survives unconditionally and never needs to enter the
+    // component loop. After exact dedup most of a real corpus is in
+    // this class, so the multi-round CC shuffles run over just the
+    // dup-candidate subgraph (Θ(candidates) per round, not Θ(n));
+    // removing isolated components cannot change any other component,
+    // so the survivor set is identical by construction (q107's oracle
+    // pins this). Cost: one map-side-combinable band count plus two
+    // hash joins of the four-long signature frame — flat work traded
+    // for ~10 CC hops over the full corpus.
+    val bc = sigs
+      .select(explode(array_distinct(array(col("b0"), col("b1")))).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("c"))
+    val marked = sigs
+      .join(bc.select(col("band").as("b0"), col("c").as("c0")), Seq("b0"))
+      .join(bc.select(col("band").as("b1"), col("c").as("c1")), Seq("b1"))
+      .withColumn("iso", col("c0") === 1 && col("c1") === 1)
+      .select("doc_id", "nt", "b0", "b1", "iso")
+      .localCheckpoint(true)
+    val cand = marked.filter(!col("iso"))
     val comp = ConnectedComponents.run(
-      sigs.select(col("b0").as("a"), col("b1").as("b")))
-    val keep = sigs.join(comp, sigs("b0") === comp("node"))
+      cand.select(col("b0").as("a"), col("b1").as("b")))
+    val keep = cand.join(comp, cand("b0") === comp("node"))
       .withColumn("__rn",
         row_number().over(Window.partitionBy("component").orderBy("doc_id")))
       .filter(col("__rn") === 1)
       .select("doc_id", "nt")
+      .unionByName(marked.filter(col("iso")).select("doc_id", "nt"))
     // Text is joined back from the RAW input, not re-derived through
     // the gate/dedup windows: survivors are a subset of unique
     // doc_ids, so an equi-join on the key reproduces (doc_id, text,
