@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Dist, MinHashBands, Portable}
-import graft.graph.ConnectedComponents
+import graft.graph.BandCluster
 
 /** The end-to-end corpus-preparation pipeline a training-data run
   * actually executes, composed from this engine's operators:
@@ -57,36 +57,13 @@ object CorpusPrep {
       .select(col("doc_id"), col("nt"),
         col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
       .localCheckpoint(true)
-    // CC bypass for the non-dup bulk: a doc can only cluster with
-    // another doc through a SHARED band value, so a doc whose bands
-    // each occur in exactly one doc is an isolated two-node component
-    // — it survives unconditionally and never needs to enter the
-    // component loop. After exact dedup most of a real corpus is in
-    // this class, so the multi-round CC shuffles run over just the
-    // dup-candidate subgraph (Θ(candidates) per round, not Θ(n));
-    // removing isolated components cannot change any other component,
-    // so the survivor set is identical by construction (q107's oracle
-    // pins this). Cost: one map-side-combinable band count plus two
-    // hash joins of the four-long signature frame — flat work traded
-    // for ~10 CC hops over the full corpus.
-    val bc = sigs
-      .select(explode(array_distinct(array(col("b0"), col("b1")))).as("band"))
-      .groupBy("band").agg(count(lit(1)).as("c"))
-    val marked = sigs
-      .join(bc.select(col("band").as("b0"), col("c").as("c0")), Seq("b0"))
-      .join(bc.select(col("band").as("b1"), col("c").as("c1")), Seq("b1"))
-      .withColumn("iso", col("c0") === 1 && col("c1") === 1)
-      .select("doc_id", "nt", "b0", "b1", "iso")
-      .localCheckpoint(true)
-    val cand = marked.filter(!col("iso"))
-    val comp = ConnectedComponents.run(
-      cand.select(col("b0").as("a"), col("b1").as("b")))
-    val keep = cand.join(comp, cand("b0") === comp("node"))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("component").orderBy("doc_id")))
-      .filter(col("__rn") === 1)
+    // near-dup clusters via the shared band-graph construction
+    // ([[graft.graph.BandCluster]] — candidate bypass + connected
+    // components); the cluster head (min doc_id) survives, exactly
+    // the standalone q100's semantics
+    val keep = BandCluster.assign(sigs)
+      .filter(col("doc_id") === col("cluster"))
       .select("doc_id", "nt")
-      .unionByName(marked.filter(col("iso")).select("doc_id", "nt"))
     // Text is joined back from the RAW input, not re-derived through
     // the gate/dedup windows: survivors are a subset of unique
     // doc_ids, so an equi-join on the key reproduces (doc_id, text,

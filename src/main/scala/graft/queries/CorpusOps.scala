@@ -48,12 +48,12 @@ object CorpusOps {
         .select(col("doc_id"),
           col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
         .localCheckpoint(true)
-      val comp = ConnectedComponents.run(
-        db.select(col("b0").as("a"), col("b1").as("b")))
-      db.join(comp, db("b0") === comp("node"))
-        .groupBy("component")
-        .agg(min("doc_id").as("cluster"), count(lit(1)).as("n_docs"))
-        .select(col("cluster"), col("n_docs"))
+      // shared band-graph clustering (candidate bypass + CC) — see
+      // graph.BandCluster; isolated docs become their own n_docs=1
+      // clusters without entering the component loop
+      graft.graph.BandCluster.assign(db)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs"))
         .orderBy("cluster")
     },
     Some(s"""WITH RECURSIVE toks AS (
