@@ -49,7 +49,12 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def read(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    // events goes through Tables.events so all three fixture ts
+    // layouts (ns-as-long, µs-NTZ, µs-UTC) normalize to TIMESTAMP
+    // before the copy shift; everything else is a raw scan
+    def read(n: String) =
+      if (n == "events") Tables.events(spark, src)
+      else spark.read.parquet(s"$src/$n.parquet")
     val c = col("__copy")
 
     def blow(
@@ -89,8 +94,7 @@ object ScaleUp {
     blow("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
     blow("lineitem",
       Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L))
-    blow("events", Map("event_id" -> 100000L, "user_id" -> 1500L),
-      post = df => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    blow("events", Map("event_id" -> 100000L, "user_id" -> 1500L))
     // documents.doc_id and embeddings.vec_id share one offset so the
     // doc_id = vec_id multimodal join keeps exactly its per-shard pairs.
     //
