@@ -55,19 +55,8 @@ object ProfileCorpusPrep {
             Portable.tokenSet(col("text"))), 2, 8)).as("bs"))
       .select(col("doc_id"), col("nt"),
         col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
-    def cc = {
-      // mirrors prepare()'s bypass: only docs whose bands are shared
-      // with another doc enter the component loop
-      val bc = sigs
-        .select(explode(array_distinct(array(col("b0"), col("b1")))).as("band"))
-        .groupBy("band").agg(count(lit(1)).as("c"))
-      val cand = sigs
-        .join(bc.select(col("band").as("b0"), col("c").as("c0")), Seq("b0"))
-        .join(bc.select(col("band").as("b1"), col("c").as("c1")), Seq("b1"))
-        .filter(!(col("c0") === 1 && col("c1") === 1))
-      graft.graph.ConnectedComponents.run(
-        cand.select(col("b0").as("a"), col("b1").as("b")))
-    }
+    // the real pipeline's clustering stage (bypass + CC + assignment)
+    def cc = graft.graph.BandCluster.assign(sigs)
 
     def time(df: => DataFrame): Double = {
       val ts = (1 to runs).map { _ =>
