@@ -41,6 +41,31 @@ class GraphDistSpec extends SparkSpec {
     assert(ConnectedComponents.run(edges).count() == 0)
   }
 
+  test("BandCluster.assign: bypass-eligible docs, chains and band collisions") {
+    import spark.implicits._
+    // docs 1,2 share band 100 (direct dup pair, 1 is head);
+    // docs 3,4,5 chain through bands 201~202~203 (3 is head);
+    // doc 6 is fully isolated (both bands unique) -> bypass path;
+    // doc 7 has b0 == b1 (band collision) and is still isolated —
+    // array_distinct keeps its self-collision from counting as a share
+    val db = Seq(
+      (1L, 100L, 101L), (2L, 100L, 102L),
+      (3L, 201L, 202L), (4L, 202L, 203L), (5L, 203L, 204L),
+      (6L, 300L, 301L),
+      (7L, 400L, 400L)).toDF("doc_id", "b0", "b1")
+    val got = graft.graph.BandCluster.assign(db)
+      .select("doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L,
+      6L -> 6L, 7L -> 7L)
+    assert(got == want)
+    // extra columns ride through untouched
+    val extra = graft.graph.BandCluster.assign(db.withColumn("nt", col("doc_id") * 10))
+      .select("doc_id", "nt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(extra == (1L to 7L).map(i => i -> i * 10).toMap)
+  }
+
   test("globalCumsum equals the single-partition window result") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")
