@@ -409,10 +409,15 @@ object TextOps {
     (s, dir) => {
       val toksDf = docs(s, dir).select(col("doc_id"),
         Portable.tokens(col("text")).as("toks"))
+      // global top-10 via sort+limit (TakeOrderedAndProject: per-
+      // partition heaps + a 10-row driver merge), never a partition-
+      // less rank window — the vocabulary grows with the corpus, and
+      // a Window.orderBy with no partition key funnels ALL of it
+      // through one task (flagged by WindowExec at sf10)
       val stops = toksDf.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-        .filter(col("rn") <= 10)
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(10)
         .agg(collect_set(col("tok")).as("stops"))
       toksDf
         .filter(size(col("toks")) >= 1) // explode-based oracle drops token-free docs

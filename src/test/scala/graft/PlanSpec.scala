@@ -41,6 +41,15 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s.take(1000))
   }
 
+  test("q46: stop-list top-10 plans as TakeOrderedAndProject, no rank window") {
+    // the stop-list input is the corpus VOCABULARY — a partition-less
+    // rank window here funnels it through one task at scale
+    val s = q("q46_quality_score").queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+    assert(!s.contains("RunningWindowFunction") && !"Window\\b".r.findFirstIn(s).isDefined,
+      s"q46 must not plan a window:\n${s.take(2000)}")
+  }
+
   test("q40: self-join sides reuse one shuffle exchange") {
     val df = q("q40_dedup_jaccard_blocked")
     df.collect()
