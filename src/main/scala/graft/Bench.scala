@@ -52,8 +52,19 @@ object Bench {
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     val names = Q.registry.filter(_.bench).map(_.name).sorted
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Queries are self-contained, so their pinned blocks (cache +
+    // localCheckpoint RDDs) are dead weight once timed; dropping them
+    // BETWEEN timed runs keeps a 179-query sweep's storage footprint
+    // flat instead of letting earlier queries' blocks squeeze later
+    // queries' execution memory (q142 OOM'd mid-sweep at sf10).
+    // Outside the timed region: block bookkeeping isn't query cost.
+    def dropPinned(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val results = names.map { name =>
       val times = (1 to runs).map { _ =>
+        dropPinned()
         val t0 = System.nanoTime()
         try materialize(name)
         catch { case e: Throwable =>

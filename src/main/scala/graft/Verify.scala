@@ -27,6 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are self-contained: drop their pinned blocks (cache +
+      // localCheckpoint RDDs) so a 179-query sweep at a big SF doesn't
+      // accumulate storage pressure into later queries' execution
+      // memory (q142 OOM'd mid-sweep at sf10 before this)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
