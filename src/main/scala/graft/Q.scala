@@ -63,5 +63,6 @@ object Q {
       queries.GraphOps.all ++
       queries.PipelineOps2.all ++
       queries.Analytics2.all ++
-      queries.Scalars2.all
+      queries.Scalars2.all ++
+      queries.CurationOps.all
 }

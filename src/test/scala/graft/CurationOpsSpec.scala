@@ -1,0 +1,73 @@
+package graft
+
+import graft.pipeline.KMeans
+import org.apache.spark.sql.functions._
+
+/** Semantics bounds for the round-5 curation operators (q182–q185)
+  * beyond the oracle hash-gate: Lloyd iterations must actually
+  * improve the clustering, temperature sampling must be
+  * downsample-only and favor low-resource languages, classifier
+  * scores must respect the weight bounds, and the snapshot diff must
+  * partition the union of both versions.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.01")
+
+  private def emb = Tables.t(spark, dir, "embeddings")
+    .select("vec_id", "embedding")
+
+  test("q182: clusters partition all vectors and inertia falls with iterations") {
+    val out = Q.byName("q182_kmeans_lloyd").fn(spark, dir).collect()
+    val total = emb.count()
+    assert(out.map(_.getLong(1)).sum === total)
+    def inertia(iters: Int): Double =
+      KMeans.fit(emb, k = 8, iters = iters)
+        .agg(sum(col("d2r").cast("decimal(28,6)")).cast("double"))
+        .head().getDouble(0)
+    val i1 = inertia(1)
+    val i3 = inertia(3)
+    assert(i3 < i1, s"3 Lloyd rounds ($i3) should beat 1 ($i1)")
+  }
+
+  test("q183: rates in (0,1], downsample-only, inverse to language size") {
+    val rows = Q.byName("q183_temperature_mix").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, rate, kept) =>
+      assert(rate > 0 && rate <= 1.0, s"$lang rate $rate")
+      assert(kept <= n, s"$lang kept $kept of $n")
+    }
+    // rate ∝ 1/sqrt(n): strictly larger languages get strictly
+    // smaller rates (no ties in the fixture language sizes)
+    rows.sortBy(_._2).sliding(2).foreach { case Array(lo, hi) =>
+      if (lo._2 < hi._2)
+        assert(lo._3 >= hi._3, s"rate must not grow with corpus share: $lo vs $hi")
+    case _ => ()
+    }
+  }
+
+  test("q184: scores bounded by the weight range and keep mirrors sign") {
+    val rows = Q.byName("q184_quality_classifier").fn(spark, dir).collect()
+    assert(rows.length === Tables.docs(spark, dir).count())
+    val bound = 48.0 / 97.0
+    rows.foreach { r =>
+      val score = r.getDouble(r.fieldIndex("score"))
+      val keep = r.getInt(r.fieldIndex("keep"))
+      assert(math.abs(score) <= bound + 1e-9)
+      assert(keep === (if (score > 0) 1 else 0))
+    }
+  }
+
+  test("q185: statuses partition the union of both snapshot versions") {
+    val rows = Q.byName("q185_corpus_diff").fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet === Set("added", "removed", "changed", "unchanged"))
+    rows.values.foreach(n => assert(n > 0))
+    val total = Tables.docs(spark, dir).count()
+    val union = rows.values.sum
+    // both versions keep ~90% of the corpus, so the union covers most
+    // of it but never exceeds it (ids come from the same key space)
+    assert(union <= total && union >= (total * 8) / 10)
+  }
+}
