@@ -156,15 +156,37 @@ class PlanSpec extends SparkSpec {
       s"query side must broadcast:\n${s.take(2000)}")
   }
 
-  test("q126: BM25 df/stats sides broadcast into the scoring join") {
+  test("q126: BM25 is one-pass — a single token explode, stats broadcast, no SMJ") {
     val df = q("q126_bm25_search")
     df.collect()
     val s = planString(df)
-    // dfq (per-term document frequency) and the corpus stats row are
-    // tiny at ANY corpus size — both must broadcast, never shuffle
-    assert("BroadcastHashJoin".r.findAllIn(s).size +
-      "BroadcastNestedLoopJoin".r.findAllIn(s).size >= 2,
-      s"df and stats must broadcast:\n${s.take(2000)}")
+    // the fixed term list folds tf into the per-doc aggregate: the
+    // token stream must explode exactly once, the corpus-stats row
+    // must broadcast, and no join may shuffle the corpus
+    assert("Generate".r.findAllIn(s).size == 1,
+      s"token stream must explode exactly once:\n${s.take(2000)}")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"stats row must broadcast:\n${s.take(2000)}")
+    assert(!s.contains("SortMergeJoin"),
+      s"BM25 must not shuffle-join the corpus:\n${s.take(2000)}")
+  }
+
+  test("q182: k-means assignment broadcasts centroids, never shuffle-joins vectors") {
+    val df = q("q182_kmeans_lloyd")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"centroids must broadcast into the assignment:\n${s.take(2000)}")
+    assert(!s.contains("SortMergeJoin"),
+      s"no vectors-side shuffle join in Lloyd assignment:\n${s.take(2000)}")
+  }
+
+  test("q183: temperature-mix rate table broadcasts; the corpus never shuffle-joins") {
+    val df = q("q183_temperature_mix")
+    df.collect()
+    val s = planString(df)
+    assert(!s.contains("SortMergeJoin"),
+      s"per-language rates are O(#langs) rows and must broadcast:\n${s.take(2000)}")
   }
 
   test("q130: DSIR ratio table joins as a broadcast (fixed 64 rows at any scale)") {
