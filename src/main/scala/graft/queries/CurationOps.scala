@@ -40,6 +40,27 @@ object CurationOps {
        |    GROUP BY 1, 2) t
        |  GROUP BY cl)""".stripMargin
 
+  /** The full unrolled Lloyd chain (init → 3 rounds → final
+    * assignment a4), shared by the q182 and q188 oracles.
+    */
+  private val kmeansCtesSql: String =
+    s"""c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cl,
+       |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${lloydSql(1)},
+       |${lloydSql(2)},
+       |${lloydSql(3)},
+       |a4 AS (
+       |  SELECT vec_id, cl, d2 AS d2r FROM (
+       |    SELECT vec_id, cl, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, c.cl,
+       |        round(${V.dist2Sql("e.embedding", "c.cv")}, 6) AS d2
+       |      FROM embeddings e CROSS JOIN c3 c) p) q
+       |  WHERE rn = 1)""".stripMargin
+
   /** Distributed Lloyd k-means (k=8, 3 update rounds + final
     * assignment) over the embeddings table, reporting per-cluster
     * size and inertia. The iteration machinery — driver-held
@@ -66,22 +87,7 @@ object CurationOps {
           sum(col("d2r").cast("decimal(28,6)")).cast("double").as("inertia"))
         .orderBy("cl")
     },
-    Some(s"""WITH c0 AS (
-      |  SELECT CAST(vec_id AS INTEGER) AS cl,
-      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cv
-      |  FROM embeddings WHERE vec_id < 8),
-      |${lloydSql(1)},
-      |${lloydSql(2)},
-      |${lloydSql(3)},
-      |a4 AS (
-      |  SELECT vec_id, cl, d2 AS d2r FROM (
-      |    SELECT vec_id, cl, d2,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-      |    FROM (
-      |      SELECT e.vec_id, c.cl,
-      |        round(${V.dist2Sql("e.embedding", "c.cv")}, 6) AS d2
-      |      FROM embeddings e CROSS JOIN c3 c) p) q
-      |  WHERE rn = 1)
+    Some(s"""WITH $kmeansCtesSql
       |SELECT cl, count(*) AS n,
       |  CAST(sum(CAST(d2r AS DECIMAL(28,6))) AS DOUBLE) AS inertia
       |FROM a4 GROUP BY cl ORDER BY cl""".stripMargin))
@@ -254,5 +260,286 @@ object CurationOps {
       |  FROM v1 FULL OUTER JOIN v2 ON id1 = id2) t
       |GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Vector[Q] = Vector(q182, q183, q184, q185)
+  /** The 4-subspace slice map shared by the q186 oracle: DuckDB list
+    * slices are 1-based inclusive, Spark's `slice(col, start, len)`
+    * matches with start = s·16+1.
+    */
+  private val subsSql: String =
+    (0 until 4).map { sId =>
+      val lo = sId * 16 + 1
+      val hi = (sId + 1) * 16
+      s"SELECT vec_id, $sId AS s, embedding[$lo:$hi] AS sub FROM embeddings"
+    }.mkString("subs AS (\n  ", "\n  UNION ALL ", ")")
+
+  /** Product-quantization compressed-domain scoring (the PQ/ADC
+    * construction of Jégou et al. 2011) with a recall audit: the
+    * 64-d embedding splits into 4 subspaces of 16 dims, each
+    * subspace quantizes against a 16-code book — initialized by
+    * spread sampling (every n/16-th id, the q180 idiom) and refined
+    * with ONE Lloyd round per subspace (all four subspaces train in
+    * a single (s, code, pos)-keyed aggregation — the q182 update
+    * step with the subspace id as an extra key). Query↔candidate
+    * distance is then approximated by summing the PRECOMPUTED
+    * query-to-code distances of the candidate's 4 code ids — the
+    * asymmetric-distance lookup that lets a 100 TB index score
+    * against 4 small code ids per vector instead of 256 raw floats.
+    * recall@10 against exact L2 per query is the audit (the q146
+    * pattern: approximation with a measured error; the Lloyd round
+    * measured recall 0.12 → 0.18 over raw sampled codebooks on the
+    * gate fixture — modest in absolute terms because the synthetic
+    * embeddings are near-isotropic, which is exactly what the audit
+    * is for. A tempting "better" init — the first 16 vec_ids —
+    * measured 0.30, but only because those ids overlap the query set:
+    * codebook leakage, not quality).
+    *
+    * Scale: codebooks and the query LUT are O(16·4) and O(|q|·64)
+    * rows — broadcast; training adds one corpus pass; encoding is one
+    * (vec,subspace)-keyed argmin aggregate; the ADC sum accumulates
+    * rounded distances in DECIMAL(28,6), fold-order-free.
+    */
+  val q186 = Q(
+    "q186_pq_adc_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+      val subs = e.select(col("vec_id"),
+        posexplode(array((0 until 4).map(i =>
+          slice(col("embedding"), i * 16 + 1, 16)): _*)))
+        .toDF("vec_id", "s", "sub")
+      // codebook init: spread sample (the count is O(1) driver work,
+      // like SemDeDup.steps), then one Lloyd refinement round over
+      // ALL subspaces at once
+      val step = math.max(1L, math.ceil(e.count() / 16.0).toLong)
+      val init = subs.filter(pmod(col("vec_id"), lit(step)) === 0)
+        .select((col("vec_id") / step).cast("int").as("code_id"),
+          col("s").as("cs"), col("sub").as("cvec"))
+      val codes = subs.join(broadcast(init), col("s") === col("cs"))
+        .withColumn("d2", round(V.dist2("sub", "cvec"), 6))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d2"), col("code_id"), col("sub"))).as("b"))
+        .select(col("s"), col("b.code_id").as("code_id"), col("b.sub").as("sub"))
+        .select(col("s"), col("code_id"), posexplode(col("sub")))
+        .toDF("s", "code_id", "pos", "v")
+        .groupBy("s", "code_id", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("s", "code_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+        .select(col("s").as("cs"), col("code_id"), col("cvec"))
+      val enc = subs.join(broadcast(codes), col("s") === col("cs"))
+        .withColumn("d2", round(V.dist2("sub", "cvec"), 6))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d2"), col("code_id"))).as("best"))
+        .select(col("vec_id"), col("s"), col("best.code_id").as("code"))
+      val lut = subs.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("s").as("qs"), col("sub").as("qsub"))
+        .join(broadcast(codes), col("qs") === col("cs"))
+        .withColumn("qd2", round(V.dist2("qsub", "cvec"), 6))
+        .select(col("query_id"), col("qs"), col("code_id").as("qcode"), col("qd2"))
+      val adc = enc.join(broadcast(lut),
+          col("s") === col("qs") && col("code") === col("qcode"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd2").cast("decimal(28,6)")).cast("double").as("ad2"))
+        .withColumnRenamed("vec_id", "cand_id")
+      val pqTop = adc.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("ad2"), col("cand_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("query_id").as("pq"), col("cand_id").as("pc"))
+      val qfull = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(qfull))
+        .filter(col("cand_id") =!= col("query_id"))
+        .withColumn("d2", round(V.dist2("ce", "qe"), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("d2"), col("cand_id"))))
+        .filter(col("rn") <= 10)
+        .join(pqTop,
+          col("query_id") === col("pq") && col("cand_id") === col("pc"), "left")
+        .groupBy("query_id")
+        .agg((sum(when(col("pc").isNotNull, 1).otherwise(0)) / 10.0).as("recall10"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $subsSql,
+      |st AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS step
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT CAST(vec_id // step AS INTEGER) AS code_id, s AS cs, sub AS cvec
+      |  FROM subs CROSS JOIN st WHERE vec_id % step = 0),
+      |asg AS (
+      |  SELECT s, code_id, sub FROM (
+      |    SELECT u.vec_id, u.s, c.code_id, u.sub,
+      |      row_number() OVER (PARTITION BY u.vec_id, u.s
+      |        ORDER BY round(${V.dist2Sql("u.sub", "c.cvec")}, 6), c.code_id) AS rn
+      |    FROM subs u JOIN init c ON u.s = c.cs) r
+      |  WHERE rn = 1),
+      |codes AS (
+      |  SELECT cs, code_id, list(m ORDER BY pos) AS cvec FROM (
+      |    SELECT s AS cs, code_id, g.i AS pos,
+      |      round(avg(CAST(sub[g.i] AS DOUBLE)), 6) AS m
+      |    FROM asg, generate_series(1, 16) g(i)
+      |    GROUP BY 1, 2, 3) t
+      |  GROUP BY 1, 2),
+      |enc AS (
+      |  SELECT vec_id, s, code_id AS code FROM (
+      |    SELECT u.vec_id, u.s, c.code_id,
+      |      row_number() OVER (PARTITION BY u.vec_id, u.s
+      |        ORDER BY round(${V.dist2Sql("u.sub", "c.cvec")}, 6), c.code_id) AS rn
+      |    FROM subs u JOIN codes c ON u.s = c.cs) r
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT u.vec_id AS query_id, u.s AS qs, c.code_id AS qcode,
+      |    round(${V.dist2Sql("u.sub", "c.cvec")}, 6) AS qd2
+      |  FROM subs u JOIN codes c ON u.s = c.cs
+      |  WHERE u.vec_id < 20),
+      |adc AS (
+      |  SELECT l.query_id, e.vec_id AS cand_id,
+      |    CAST(sum(CAST(l.qd2 AS DECIMAL(28,6))) AS DOUBLE) AS ad2
+      |  FROM enc e JOIN lut l ON e.s = l.qs AND e.code = l.qcode
+      |  WHERE e.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |pqtop AS (
+      |  SELECT query_id AS pq, cand_id AS pc FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY ad2, cand_id) AS rn
+      |    FROM adc) r
+      |  WHERE rn <= 10),
+      |exact AS (
+      |  SELECT query_id, cand_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(${V.dist2Sql("c.embedding", "q.embedding")}, 6),
+      |          c.vec_id) AS rn
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 20) r
+      |  WHERE rn <= 10)
+      |SELECT e.query_id,
+      |  sum(CASE WHEN p.pc IS NOT NULL THEN 1 ELSE 0 END) / 10.0 AS recall10
+      |FROM exact e LEFT JOIN pqtop p ON e.query_id = p.pq AND e.cand_id = p.pc
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin))
+
+  /** LSH band-parameter sensitivity — the S-curve audit a production
+    * MinHash deployment runs before picking (bands, rows): for the
+    * SAME 16 seeded min-hashes banded three ways (2×8, 4×4, 8×2),
+    * report colliding-bucket and candidate-pair volume. Everything is
+    * an aggregate over bucket COUNTS — Σ n·(n−1)/2 per bucket — so
+    * the sweep never enumerates a pair and stays linear at any corpus
+    * size (the enumeration itself is q41's job once parameters are
+    * chosen).
+    */
+  val q187 = Q(
+    "q187_lsh_band_sensitivity",
+    (s, dir) => {
+      graft.functions.MinHashBands.register(s)
+      // tokenized once, pinned: three band settings re-read the frame
+      val toks = Tables.docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+        .localCheckpoint()
+      val settings = Seq((2, 8), (4, 4), (8, 2))
+      settings.map { case (b, r) =>
+        val sigs = toks.select(col("doc_id"),
+          explode(expr(s"minhash_bands(toks, $b, $r)")).as("sig"))
+        val buckets = sigs.groupBy("sig").agg(count(lit(1)).as("n"))
+        val stats = buckets.agg(
+          sum(when(col("n") > 1, 1).otherwise(0)).cast("long").as("buckets_gt1"),
+          (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("cand_pairs"))
+        val dic = sigs.join(buckets.filter(col("n") > 1), "sig")
+          .agg(countDistinct("doc_id").as("docs_in_cand"))
+        stats.crossJoin(dic)
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("buckets_gt1"), col("cand_pairs"), col("docs_in_cand"))
+      }.reduce(_ unionAll _).orderBy("bands")
+    },
+    Some {
+      val mh =
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${Portable.tokenSetSql("text")} AS toks
+           |  FROM documents WHERE lang = 'en'),
+           |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+           |mh AS (
+           |  SELECT doc_id, seed,
+           |    min(${Portable.md5LongSql("concat(seed, ':', tok)")}) AS minh
+           |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+           |  GROUP BY 1, 2)""".stripMargin
+      val per = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band, buckets_gt1, cand_pairs,
+           |  (SELECT count(DISTINCT s.doc_id)
+           |   FROM (SELECT doc_id, seed // $r AS band,
+           |           string_agg(concat(seed, ':', minh), ','
+           |             ORDER BY concat(seed, ':', minh)) AS sig
+           |         FROM mh GROUP BY 1, 2) s
+           |   JOIN (SELECT band, sig FROM (
+           |           SELECT band, sig, count(*) AS n
+           |           FROM (SELECT doc_id, seed // $r AS band,
+           |                   string_agg(concat(seed, ':', minh), ','
+           |                     ORDER BY concat(seed, ':', minh)) AS sig
+           |                 FROM mh GROUP BY 1, 2) x
+           |           GROUP BY 1, 2) y WHERE n > 1) bb
+           |     ON s.band = bb.band AND s.sig = bb.sig) AS docs_in_cand
+           |FROM (
+           |  SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS buckets_gt1,
+           |    CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS cand_pairs
+           |  FROM (
+           |    SELECT band, sig, count(*) AS n FROM (
+           |      SELECT doc_id, seed // $r AS band,
+           |        string_agg(concat(seed, ':', minh), ','
+           |          ORDER BY concat(seed, ':', minh)) AS sig
+           |      FROM mh GROUP BY 1, 2) x
+           |    GROUP BY 1, 2) z) agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$mh\n$per\nORDER BY bands"
+    })
+
+  /** Cluster-purity report over the q182 k-means assignment — the
+    * evaluation view that decides whether a clustering is usable for
+    * curation (SemDeDup cells, DSIR domains): per cluster, size,
+    * majority ground-truth label and purity. Reuses the pinned Lloyd
+    * chain; the label join is the only addition (cluster×label keys,
+    * map-side combinable).
+    */
+  val q188 = Q(
+    "q188_cluster_purity",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      val byLab = graft.pipeline.KMeans.fit(e.select("vec_id", "embedding"), 8, 3)
+        .join(e.select(col("vec_id").as("lv"), col("label")),
+          col("vec_id") === col("lv"))
+        .groupBy("cl", "label").agg(count(lit(1)).as("nl"))
+      val tot = byLab.groupBy("cl").agg(sum("nl").as("n"))
+      val maj = byLab
+        .groupBy("cl")
+        .agg(min(struct((-col("nl")).as("negn"), col("label"))).as("m"))
+        .select(col("cl").as("cl2"), (-col("m.negn")).as("maj_n"),
+          col("m.label").as("maj_label"))
+      tot.join(maj, col("cl") === col("cl2"))
+        .select(col("cl"), col("n"), col("maj_label"), col("maj_n"),
+          round(col("maj_n").cast("double") / col("n"), 6).as("purity"))
+        .orderBy("cl")
+    },
+    Some(s"""WITH $kmeansCtesSql,
+      |bylab AS (
+      |  SELECT a.cl, e.label, count(*) AS nl
+      |  FROM a4 a JOIN embeddings e USING (vec_id)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT cl, CAST(sum(nl) AS BIGINT) AS n FROM bylab GROUP BY 1),
+      |maj AS (
+      |  SELECT cl, nl AS maj_n, label AS maj_label FROM (
+      |    SELECT cl, label, nl,
+      |      row_number() OVER (PARTITION BY cl ORDER BY nl DESC, label) AS rn
+      |    FROM bylab) r
+      |  WHERE rn = 1)
+      |SELECT t.cl, t.n, m.maj_label, m.maj_n,
+      |  round(CAST(m.maj_n AS DOUBLE) / t.n, 6) AS purity
+      |FROM tot t JOIN maj m USING (cl)
+      |ORDER BY t.cl""".stripMargin))
+
+  val all: Vector[Q] = Vector(q182, q183, q184, q185, q186, q187, q188)
 }
+

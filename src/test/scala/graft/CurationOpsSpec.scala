@@ -59,6 +59,42 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q186: PQ recall@10 is a valid per-query fraction") {
+    val rows = Q.byName("q186_pq_adc_recall").fn(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val rec = r.getDouble(r.fieldIndex("recall10"))
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("q187: narrower bands strictly grow candidate volume (the S-curve)") {
+    val rows = Q.byName("q187_lsh_band_sensitivity").fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(r.fieldIndex("cand_pairs")),
+        r.getLong(r.fieldIndex("docs_in_cand"))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(2, 4, 8)))
+    val enDocs = Tables.docs(spark, dir).filter(col("lang") === "en").count()
+    rows.sliding(2).foreach { case Array(wide, narrow) =>
+      assert(wide._2 < narrow._2,
+        s"more bands must produce more candidate pairs: $wide vs $narrow")
+    case _ => ()
+    }
+    rows.foreach { case (_, _, dic) => assert(dic <= enDocs) }
+  }
+
+  test("q188: purity report partitions the vectors and bounds purity") {
+    val rows = Q.byName("q188_cluster_purity").fn(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === emb.count())
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val majN = r.getLong(3)
+      val purity = r.getDouble(4)
+      assert(majN <= n)
+      assert(purity > 0.0 && purity <= 1.0)
+    }
+  }
+
   test("q185: statuses partition the union of both snapshot versions") {
     val rows = Q.byName("q185_corpus_diff").fn(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
