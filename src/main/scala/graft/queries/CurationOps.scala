@@ -540,6 +540,156 @@ object CurationOps {
       |FROM tot t JOIN maj m USING (cl)
       |ORDER BY t.cl""".stripMargin))
 
-  val all: Vector[Q] = Vector(q182, q183, q184, q185, q186, q187, q188)
+  /** Vocabulary-coverage curve — the tokenizer-design question "how
+    * many vocabulary entries cover 90/95/99% of the token stream, per
+    * language". The frequency-ranked vocabulary gets its cumulative
+    * counts from [[graft.functions.Dist.globalCumsumBy]] (cnt and a
+    * ones column cumsummed together over the (lang, cnt DESC, tok)
+    * total order — the rank IS the ones-cumsum), so no
+    * single-partition window ever sees the vocabulary, which at
+    * 100 TB is itself a billion-row table. Per-language prefixes
+    * subtract off via the O(#langs) offset window (the q153 recipe),
+    * and the coverage thresholds compare in exact integer math
+    * (ccum·100 ≥ ltot·90), no float division anywhere.
+    */
+  val q189 = Q(
+    "q189_vocab_coverage_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Tables.docs(s, dir)
+        .select(col("lang"), explode(Portable.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("one", lit(1L))
+      val cum = graft.functions.Dist.globalCumsumBy(
+        vocab, Seq(col("lang"), col("cnt").desc, col("tok")),
+        Seq("cnt", "one"), 32)
+      val wL = Window.orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = cum.groupBy("lang")
+        .agg(sum("cnt").as("ltot"), sum("one").as("lvocab"))
+        .withColumn("cnt_off", coalesce(sum("ltot").over(wL), lit(0L)))
+        .withColumn("one_off", coalesce(sum("lvocab").over(wL), lit(0L)))
+        .select(col("lang").as("lang2"), col("ltot"), col("lvocab"),
+          col("cnt_off"), col("one_off"))
+      cum.join(broadcast(offs), col("lang") === col("lang2"))
+        .withColumn("ccum", col("cnt_cum") - col("cnt_off"))
+        .withColumn("vrank", col("one_cum") - col("one_off"))
+        .groupBy("lang")
+        .agg(
+          max("lvocab").as("vocab_size"),
+          max("ltot").as("total_toks"),
+          min(when(col("ccum") * 100 >= col("ltot") * 90, col("vrank"))).as("v90"),
+          min(when(col("ccum") * 100 >= col("ltot") * 95, col("vrank"))).as("v95"),
+          min(when(col("ccum") * 1000 >= col("ltot") * 990, col("vrank"))).as("v99"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT lang, unnest(${Portable.tokensSql("text")}) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |w AS (
+      |  SELECT lang, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS vrank,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS ltot,
+      |    count(*) OVER (PARTITION BY lang) AS lvocab
+      |  FROM vocab)
+      |SELECT lang,
+      |  CAST(max(lvocab) AS BIGINT) AS vocab_size,
+      |  CAST(max(ltot) AS BIGINT) AS total_toks,
+      |  CAST(min(CASE WHEN ccum * 100 >= ltot * 90 THEN vrank END) AS BIGINT) AS v90,
+      |  CAST(min(CASE WHEN ccum * 100 >= ltot * 95 THEN vrank END) AS BIGINT) AS v95,
+      |  CAST(min(CASE WHEN ccum * 1000 >= ltot * 990 THEN vrank END) AS BIGINT) AS v99
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Incremental ANN-index / dedup maintenance — the production shape
+    * of "a new batch arrives against a standing corpus": ~10% of the
+    * vectors (a deterministic hash slice) play the delta batch, IVF
+    * cells derive from the BASE corpus only (√n sampled seeds, the
+    * q180 idiom — the index is NOT rebuilt for a batch), deltas
+    * assign into the standing cells, and the near-dup report covers
+    * only pairs involving a delta (delta×base, and within-batch with
+    * the usual a<b orientation). Per-batch work is Θ(|delta|·√n)
+    * pair volume plus one broadcast assignment pass — the batch
+    * never touches cells it doesn't land in. Complements q81 (the
+    * content-hash incremental dedup) at the embedding layer; same
+    * output contract as q180's dedupReport.
+    */
+  val q190 = Q(
+    "q190_incremental_ann_maintenance",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+      val isBase = Portable.md5Long(
+        concat(lit("b:"), col("vec_id").cast("string"))) % 10 < 9
+      val base = e.filter(isBase)
+      val step = {
+        val n = base.count()
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      }
+      val seeds = base.filter(pmod(col("vec_id"), lit(step)) === 0)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("svec"))
+      val assigned = e
+        .withColumn("is_base", isBase.cast("int"))
+        .crossJoin(broadcast(seeds))
+        .withColumn("d2", round(V.dist2("embedding", "svec"), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("seed_id"), col("embedding"),
+          col("is_base"))).as("b"))
+        .select(col("vec_id"), col("b.embedding").as("embedding"),
+          col("b.seed_id").as("cell"), col("b.is_base").as("is_base"))
+        .withColumn("nrm", V.norm("embedding"))
+      val a = assigned.select(col("vec_id").as("ka"), col("cell"),
+        col("is_base").as("ab"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.filter(col("is_base") === 0)
+        .select(col("vec_id").as("dropped"), col("cell").as("cellb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("cell") === col("cellb") && col("ka") =!= col("dropped") &&
+          (col("ab") === 1 || col("ka") < col("dropped")))
+        .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.35)
+        .groupBy("dropped")
+        .agg(min("ka").as("keeper"), max("cos").as("max_cos"),
+          count(lit(1)).as("n_dups"))
+        .orderBy("dropped")
+    },
+    Some(s"""WITH base AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE ${Portable.md5LongSql("'b:' || CAST(vec_id AS VARCHAR)")} % 10 < 9),
+      |st AS (
+      |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
+      |  FROM base),
+      |seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS svec
+      |  FROM base CROSS JOIN st WHERE vec_id % st.step = 0),
+      |un AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN ${Portable.md5LongSql("'b:' || CAST(vec_id AS VARCHAR)")} % 10 < 9
+      |         THEN 1 ELSE 0 END AS is_base
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT vec_id, embedding, is_base, cell,
+      |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
+      |  FROM (
+      |    SELECT u.vec_id, u.embedding, u.is_base, s.seed_id AS cell,
+      |      row_number() OVER (PARTITION BY u.vec_id
+      |        ORDER BY round(${V.dist2Sql("u.embedding", "s.svec")}, 6), s.seed_id) AS rn
+      |    FROM un u CROSS JOIN seeds s)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT b.vec_id AS dropped, a.vec_id AS ka,
+      |    round(${V.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+      |  FROM assigned b JOIN assigned a
+      |    ON a.cell = b.cell AND b.is_base = 0 AND a.vec_id <> b.vec_id
+      |      AND (a.is_base = 1 OR a.vec_id < b.vec_id))
+      |SELECT dropped, min(ka) AS keeper, max(cos) AS max_cos,
+      |  count(*) AS n_dups
+      |FROM pairs WHERE cos >= 0.35
+      |GROUP BY dropped ORDER BY dropped""".stripMargin))
+
+  val all: Vector[Q] =
+    Vector(q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }
 

@@ -95,6 +95,36 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q189: coverage thresholds are ordered and bounded by vocab size") {
+    val rows = Q.byName("q189_vocab_coverage_curve").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vocab = r.getLong(r.fieldIndex("vocab_size"))
+      val Seq(v90, v95, v99) = Seq("v90", "v95", "v99")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      assert(v90 <= v95 && v95 <= v99 && v99 <= vocab,
+        s"coverage curve must be monotone: $r")
+      assert(v90 >= 1)
+    }
+  }
+
+  test("q190: delta-only report — no base vector is ever dropped") {
+    import graft.functions.Portable
+    val rows = Q.byName("q190_incremental_ann_maintenance").fn(spark, dir).collect()
+    val deltaIds = emb
+      .filter(Portable.md5Long(
+        concat(lit("b:"), col("vec_id").cast("string"))) % 10 >= 9)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val dropped = r.getLong(r.fieldIndex("dropped"))
+      val keeper = r.getLong(r.fieldIndex("keeper"))
+      assert(deltaIds.contains(dropped), s"dropped $dropped must be a delta vector")
+      assert(keeper != dropped)
+      val cos = r.getDouble(r.fieldIndex("max_cos"))
+      assert(cos >= 0.35 && cos <= 1.000001)
+    }
+  }
+
   test("q185: statuses partition the union of both snapshot versions") {
     val rows = Q.byName("q185_corpus_diff").fn(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
