@@ -64,5 +64,6 @@ object Q {
       queries.PipelineOps2.all ++
       queries.Analytics2.all ++
       queries.Scalars2.all ++
-      queries.CurationOps.all
+      queries.CurationOps.all ++
+      queries.CurationOps2.all
 }

@@ -293,6 +293,35 @@ object EventStreams {
       } else Iterator.empty
   }
 
+  /** (N) streaming near-dup ingest filter, stage 1: the documents
+    * table as a stream; each doc's MinHash band signatures
+    * ([[graft.functions.MinHashBands]], the batch LSH kernel) claim
+    * their LSH buckets, and a running stateful aggregate elects the
+    * smallest doc_id per bucket — first writer wins at ingest time.
+    * State is one row per distinct band signature, the same keyspace
+    * the batch LSH join shuffles on; min() makes the election
+    * independent of arrival order, so the streamed result equals the
+    * batch election (q193's oracle checks exactly that). The memory
+    * sink is the harness shape — at production volume the same agg
+    * runs in update mode into a keyed store the ingest path probes.
+    */
+  def docBandWinners(
+      spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    graft.functions.MinHashBands.register(spark)
+    val src = s"$dir/documents.parquet"
+    val raw = spark.read.parquet(src)
+    val reader = spark.readStream.schema(raw.schema)
+    val stream =
+      if (new java.io.File(src).isDirectory) reader.parquet(src)
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val sigs = stream
+      .select(col("doc_id"), P.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr("minhash_bands(toks, 2, 8)")).as("sig"))
+    val winners = sigs.groupBy("sig").agg(min("doc_id").as("winner"))
+    runToCompletion(winners, "complete", queryName)
+  }
+
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Independent recomputations for the q191-q195 curation additions.
+  * Each check re-derives the operator's answer through a DIFFERENT
+  * formulation (naive global window, HOF shingling, batch election,
+  * driver-side brute force) so a regression in the scale-path
+  * machinery (Dist cumsum, kernels, the streaming election) fails
+  * here even before the oracle run.
+  */
+class CurationOps2Spec extends SparkSpec {
+
+  test("q191 AUC equals the naive global-rank formulation") {
+    val row = Q.byName("q191_classifier_auc").fn(spark, sf()).collect().head
+    val auc = row.getDouble(row.fieldIndex("auc"))
+    // naive: midrank-based Mann-Whitney on a single global window —
+    // the formulation Dist.globalCumsumBy replaces at scale
+    val scored = Tables.docs(spark, sf())
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+      .withColumn("w",
+        (pmod(graft.functions.Portable.md5Long(col("tok")), lit(64)) * 37 + 11) % 97 - 48)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+      .withColumn("score", round(
+        col("wsum").cast("double") / (col("n_toks").cast("double") * 97.0), 6))
+      .withColumn("pos", (col("lang") === "en").cast("long"))
+    val ranked = scored
+      .withColumn("r", rank().over(Window.orderBy("score")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("score")))
+      .withColumn("midrank", col("r") + (col("cnt") - 1) / 2.0)
+    val agg = ranked.agg(
+      sum(when(col("pos") === 1, col("midrank"))).as("rsum"),
+      sum(col("pos")).as("np"),
+      sum(lit(1L) - col("pos")).as("nn")).collect().head
+    val np = agg.getLong(1).toDouble
+    val nn = agg.getLong(2).toDouble
+    val u = agg.getDouble(0) - np * (np + 1) / 2.0
+    assert(math.abs(auc - u / (np * nn)) < 1e-6,
+      s"scale-path auc $auc vs naive ${u / (np * nn)}")
+  }
+
+  test("q192 duplicated-span mass matches a HOF re-shingling") {
+    val fast = Q.byName("q192_span_dup_mass").fn(spark, sf())
+      .select("doc_id", "n_win", "n_dup").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // independent path: materialize the window STRINGS via a
+    // higher-order transform (no kernel), then the same >=2-doc count
+    graft.functions.Md5Long60.register(spark)
+    val sh = Tables.docs(spark, sf())
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), explode_outer(expr(
+        """array_distinct(transform(sequence(1, length(text) - 39),
+          |  i -> md5long60(substring(text, i, 40))))""".stripMargin)).as("h"))
+    val cnt = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+    val slow = sh.join(cnt, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fast == slow)
+  }
+
+  test("q193 streaming election equals the batch election") {
+    val streamed = Q.byName("q193_stream_neardup_filter").fn(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("kept")))).toMap
+    graft.functions.MinHashBands.register(spark)
+    val sigs = Tables.docs(spark, sf())
+      .select(col("doc_id"), graft.functions.Portable.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr("minhash_bands(toks, 2, 8)")).as("sig"))
+    val win = sigs.groupBy("sig").agg(min("doc_id").as("winner"))
+    val batch = sigs.join(win, "sig")
+      .groupBy("doc_id")
+      .agg(min(when(col("winner") === col("doc_id"), 1).otherwise(0)).as("kept"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(streamed == batch)
+    // first writer always wins: the smallest doc_id can lose no band
+    val minDoc = streamed.keys.min
+    assert(streamed(minDoc) == 1)
+  }
+
+  test("q194 recall audit matches driver-side brute force") {
+    val out = Q.byName("q194_jl_projection_recall").fn(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("hits")))).toMap
+    val vecs = Tables.t(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def sgn(i: Int, j: Int): Double =
+      if (graft.functions.Md5Long60.hashBytes(s"jl:$i:$j".getBytes("UTF-8")) % 2 == 0) 1.0
+      else -1.0
+    val proj = vecs.map { case (id, e) =>
+      id -> Array.tabulate(16)(j =>
+        (0 until 64).foldLeft(0.0)((a, i) => a + e(i).toDouble * sgn(i, j)))
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0)((s, p) => s + math.pow(p._1 - p._2, 2))
+    for (p <- vecs.keys.filter(_ % 100 == 0)) {
+      val others = vecs.keys.filter(_ != p).toSeq
+      val pe = vecs(p).map(_.toDouble)
+      val top = (order: Long => Double) =>
+        others.sortBy(v => (order(v), v)).take(10).toSet
+      val exact = top(v => d2(vecs(v).map(_.toDouble), pe))
+      val approx = top(v => d2(proj(v), proj(p)))
+      assert(out(p) == exact.intersect(approx).size.toLong, s"probe $p")
+    }
+  }
+
+  test("q195 per-dim health covers every dimension with sane bounds") {
+    val rows = Q.byName("q195_embedding_dim_health").fn(spark, sf()).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    val nVec = Tables.t(spark, sf(), "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n")) == nVec)
+      assert(r.getDouble(r.fieldIndex("minv")) <= r.getDouble(r.fieldIndex("mean")))
+      assert(r.getDouble(r.fieldIndex("mean")) <= r.getDouble(r.fieldIndex("maxv")))
+    }
+  }
+}
