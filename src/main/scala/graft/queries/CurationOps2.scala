@@ -19,13 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps2 {
 
-  /** JVM-side twin of [[Portable.md5LongSql]] for PLAN-TIME constants
-    * (the JL sign matrix): first 60 bits of md5 as a non-negative
-    * long. Any drift from the SQL form fails the q194 hash compare.
-    */
-  private def md5LongConst(s: String): Long =
-    graft.functions.Md5Long60.hashBytes(s.getBytes("UTF-8"))
-
   /** Rank-based ROC-AUC (Mann-Whitney U) of the q184 hashed-feature
     * quality score against a held-out binary label (lang = 'en'),
     * computed WITHOUT a single-partition rank window: scores are
@@ -203,9 +196,11 @@ object CurationOps2 {
     * identically by the oracle), and every probe's top-10 by
     * projected distance is scored against its exact top-10 — recall
     * and distance distortion, measured not assumed (the q132/q146
-    * audit pattern). The projection is a plan-time constant folded
-    * into ONE codegen'd per-row expression (no 64x row explode, no
-    * shuffle); pair scans reuse the q48 broadcast-probe shape. At
+    * audit pattern). The projection is ONE codegen'd kernel call per
+    * row ([[graft.functions.JlProject]] — the folded Column form is a
+    * ~10⁴-node expression tree that costs seconds of plan overhead;
+    * CurationOps2Spec pins the two equal) — no 64x row explode, no
+    * shuffle; pair scans reuse the q48 broadcast-probe shape. At
     * scale the projected vectors are 4x smaller than the originals —
     * this is the compressed-domain prefilter that makes brute-force
     * rescoring affordable, complementary to PQ/ADC (q186).
@@ -213,16 +208,10 @@ object CurationOps2 {
   val q194 = Q(
     "q194_jl_projection_recall",
     (s, dir) => {
-      val d = 64
-      val k = 16
+      graft.functions.JlProject.register(s)
       val withProj = Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .withColumn("proj", array((0 until k).map { j =>
-          (0 until d).map { i =>
-            val sgn = if (md5LongConst(s"jl:$i:$j") % 2 == 0) 1.0 else -1.0
-            col("embedding").getItem(i).cast("double") * lit(sgn)
-          }.reduceLeft(_ + _)
-        }: _*))
+        .withColumn("proj", expr("jl_project(embedding, 16)"))
       val probes = withProj
         .filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("probe_id"),

@@ -82,6 +82,23 @@ class CurationOps2Spec extends SparkSpec {
     assert(streamed(minDoc) == 1)
   }
 
+  test("jl_project kernel equals the folded Column formulation") {
+    graft.functions.JlProject.register(spark)
+    def sgn(i: Int, j: Int): Double =
+      if (graft.functions.Md5Long60.hashBytes(s"jl:$i:$j".getBytes("US-ASCII")) % 2 == 0) 1.0
+      else -1.0
+    val diff = Tables.t(spark, sf(), "embeddings")
+      .withColumn("fast", expr("jl_project(embedding, 16)"))
+      .withColumn("slow", array((0 until 16).map { j =>
+        (0 until 64).map(i =>
+          col("embedding").getItem(i).cast("double") * lit(sgn(i, j)))
+          .reduceLeft(_ + _)
+      }: _*))
+      .filter(expr("exists(zip_with(fast, slow, (a, b) -> a <> b), x -> x)"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("q194 recall audit matches driver-side brute force") {
     val out = Q.byName("q194_jl_projection_recall").fn(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("hits")))).toMap
