@@ -117,6 +117,34 @@ case class CharShingleHashes(child: Expression, k: Int)
       newChild: Expression): CharShingleHashes = copy(child = newChild)
 }
 
+/** Content-defined anchor sampling of the k-char window hashes
+  * (winnowing, Schleimer et al. 2003): emit only the distinct window
+  * hashes with `h % mod == 0`. Selection depends on window CONTENT,
+  * never position, so every copy of a duplicated span selects the
+  * same ~1/mod of its windows regardless of alignment — the property
+  * a fixed-stride grid lacks (two copies offset by one char share
+  * zero stride-grid windows). This is what keeps the q192
+  * duplicated-span scan at 1/mod of the full explode volume without
+  * opening an alignment hole.
+  */
+case class AnchorShingleHashes(child: Expression, k: Int, mod: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"anchor_shingle_hashes expects string, got ${t.sql}")
+  }
+  override def prettyName: String = "anchor_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.anchorShingleHashes(input.asInstanceOf[UTF8String], k, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.anchorShingleHashes($c, $k, $mod)")
+  override protected def withNewChildInternal(
+      newChild: Expression): AnchorShingleHashes = copy(child = newChild)
+}
+
 /** q47's whole per-document aggregate — `min(h)` and
   * `count(DISTINCT h)` over the k-char shingle hashes — as ONE
   * per-row struct, eliminating the |text|-row explode AND the
@@ -249,6 +277,18 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  def anchorShingleHashes(s: UTF8String, k: Int, mod: Int): ArrayData = {
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    eachShingleHash(s, k) { h =>
+      if (h % mod == 0 && seen.add(h)) out.add(h)
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** (min hash, distinct-hash count) over the k-char windows.
     * Callers must pre-filter texts shorter than k chars (as the
     * exploded formulation's length filter does); a window-free text
@@ -282,5 +322,9 @@ object TextKernels {
     r.createOrReplaceTempFunction("shingle_fingerprint",
       exprs => ShingleFingerprint(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    r.createOrReplaceTempFunction("anchor_shingle_hashes",
+      exprs => AnchorShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

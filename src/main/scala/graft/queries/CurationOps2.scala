@@ -91,16 +91,24 @@ object CurationOps2 {
 
   /** Cross-document duplicated-span mass (the exact-substring dedup
     * report of Lee et al., "Deduplicating Training Data Makes
-    * Language Models Better"): every 40-char window of every document
-    * is fingerprinted (distinct within doc, one codegen'd
-    * [[graft.functions.CharShingleHashes]] pass — q103's kernel at
-    * span width); a window occurring in >= 2 documents is duplicated
-    * text. Per doc: the fraction of its windows that exist elsewhere
-    * and the resulting keep/trim/drop action. One explode + one
-    * groupBy on fixed-width 60-bit hashes + one join back — shuffle
-    * volume linear in total text size, the 100 TB-safe shape (the
-    * suffix-array formulation is sequential; hashed spans are its
-    * distributed equivalent).
+    * Language Models Better"): 40-char windows are fingerprinted and
+    * a window occurring in >= 2 documents is duplicated text; per
+    * doc, the fraction of its sampled windows that exist elsewhere
+    * and the resulting keep/trim/drop action. Windows are sampled by
+    * CONTENT-DEFINED anchors ([[graft.functions.AnchorShingleHashes]]
+    * — winnowing, Schleimer et al. 2003: keep h % 4 == 0, one
+    * codegen'd pass per doc): selection depends on the window's
+    * bytes, never its offset, so every copy of a duplicated span
+    * samples the SAME windows regardless of alignment — a fixed
+    * stride-4 grid would miss copies offset by 1-3 chars entirely,
+    * while stride 1 shuffles |corpus chars| rows (measured 215 s +
+    * task OOM at sf10; anchors cut it 4x with an unbiased estimate
+    * of the same fraction). One explode + one groupBy on fixed-width
+    * 60-bit hashes + one join back against only the DUPLICATED
+    * window set (the groupBy output reuses the explode's exchange) —
+    * linear in total text size, the 100 TB-safe shape (the
+    * suffix-array formulation is sequential; hashed anchored spans
+    * are its distributed equivalent).
     */
   val q192 = Q(
     "q192_span_dup_mass",
@@ -109,12 +117,14 @@ object CurationOps2 {
       val sh = Tables.docs(s, dir)
         .filter(length(col("text")) >= 40)
         .select(col("doc_id"),
-          explode(expr("char_shingle_hashes(text, 40)")).as("h"))
-      val cnt = sh.groupBy("h").agg(count(lit(1)).as("nd"))
-      sh.join(cnt, "h")
+          explode(expr("anchor_shingle_hashes(text, 40, 4)")).as("h"))
+      val dup = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1L).as("isdup"))
+      sh.join(dup, Seq("h"), "left_outer")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_win"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
         .withColumn("dup_frac", round(col("n_dup") / col("n_win"), 6))
         .withColumn("action",
           when(col("n_dup") / col("n_win") >= 0.5, "drop")
@@ -123,11 +133,12 @@ object CurationOps2 {
         .orderBy("doc_id")
     },
     Some(s"""WITH sh AS (
-      |  SELECT doc_id, ${Portable.md5LongSql("s")} AS h
+      |  SELECT doc_id, h
       |  FROM (
-      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |    SELECT doc_id, unnest(list_filter(list_distinct(list_transform(
       |        range(1, CAST(length(text) AS BIGINT) - 38),
-      |        i -> substr(text, CAST(i AS INTEGER), 40)))) AS s
+      |        i -> ${Portable.md5LongSql("substr(text, CAST(i AS INTEGER), 40)")})),
+      |      h -> h % 4 = 0)) AS h
       |    FROM documents WHERE length(text) >= 40)),
       |cnt AS (SELECT h, count(*) AS nd FROM sh GROUP BY 1)
       |SELECT doc_id, count(*) AS n_win,
@@ -212,8 +223,14 @@ object CurationOps2 {
       val withProj = Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("proj", expr("jl_project(embedding, 16)"))
-      val probes = withProj
-        .filter(col("vec_id") % 100 === 0)
+      // FIXED-SIZE probe panel (~20), not a fixed fraction: a `% 100`
+      // probe rule makes the audit's pair space 0.01·n² — quadratic
+      // (the q118 lesson). The modulus scales with the corpus so
+      // audited pairs stay ~20·n: linear at any scale.
+      val mod = withProj.select(greatest(lit(100L),
+        ceil(count(lit(1)) / 20.0).cast("long")).as("mod"))
+      val probes = withProj.crossJoin(broadcast(mod))
+        .filter(col("vec_id") % col("mod") === 0)
         .select(col("vec_id").as("probe_id"),
           col("embedding").as("pe"), col("proj").as("pp"))
       val pairs = withProj
@@ -242,11 +259,14 @@ object CurationOps2 {
       |        CASE WHEN ${Portable.md5LongSql("concat('jl:', i, ':', j)")} % 2 = 0
       |          THEN 1.0 ELSE -1.0 END))) AS proj
       |  FROM embeddings),
+      |md AS (SELECT greatest(100, CAST(ceil(count(*) / 20.0) AS BIGINT)) AS m
+      |       FROM embeddings),
       |pairs AS (
       |  SELECT p.vec_id AS probe_id, c.vec_id,
       |    ${V.dist2Sql("c.embedding", "p.embedding")} AS d2e,
       |    ${V.dist2Sql("c.proj", "p.proj")} AS d2p
-      |  FROM pr p JOIN pr c ON p.vec_id % 100 = 0 AND c.vec_id <> p.vec_id),
+      |  FROM pr p CROSS JOIN md JOIN pr c
+      |    ON p.vec_id % md.m = 0 AND c.vec_id <> p.vec_id),
       |rk AS (
       |  SELECT probe_id, vec_id, d2e, d2p,
       |    row_number() OVER (PARTITION BY probe_id ORDER BY d2e, vec_id) AS re,
