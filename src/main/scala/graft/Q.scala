@@ -65,5 +65,6 @@ object Q {
       queries.Analytics2.all ++
       queries.Scalars2.all ++
       queries.CurationOps.all ++
-      queries.CurationOps2.all
+      queries.CurationOps2.all ++
+      queries.CurationOps3.all
 }

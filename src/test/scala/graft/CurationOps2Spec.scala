@@ -125,6 +125,44 @@ class CurationOps2Spec extends SparkSpec {
     }
   }
 
+  test("q196 top component is unit-norm and aligns with brute-force PCA") {
+    val rows = Q.byName("q196_pca_top_component").fn(spark, sf()).collect()
+    val load = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(math.abs(load.map(x => x * x).sum - 1.0) < 1e-4)
+    val vs = rows.head.getDouble(rows.head.fieldIndex("var_share"))
+    assert(vs > 0 && vs <= 1.0)
+    // independent path: exact covariance (no rounding) + the same
+    // power iteration, driver-side
+    val e = Tables.t(spark, sf(), "embeddings").select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = e.length
+    val d = 64
+    val m = Array.tabulate(d)(i => e.map(_(i)).sum / n)
+    val c = Array.tabulate(d, d)((i, j) =>
+      e.map(v => v(i) * v(j)).sum / n - m(i) * m(j))
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nr = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nr)
+    }
+    val dot = math.abs(load.zip(v).map { case (a, b) => a * b }.sum)
+    assert(dot > 0.999, s"alignment $dot")
+  }
+
+  test("q197 trained probe beats the zero model on its own objective") {
+    val rows = Q.byName("q197_trained_quality_probe").fn(spark, sf()).collect()
+    assert(rows.length == 64)
+    val mse = rows.head.getDouble(rows.head.fieldIndex("train_mse"))
+    // the zero-weight model's loss is mean(y²) = the positive share
+    val e = Tables.t(spark, sf(), "embeddings").select(col("vec_id"))
+    val lab = Tables.docs(spark, sf())
+      .select(col("doc_id").as("vec_id"),
+        (col("lang") === "en").cast("double").as("y"))
+    val yy = e.join(lab, "vec_id").agg(avg(col("y"))).head.getDouble(0)
+    assert(mse >= 0 && mse < yy, s"mse $mse vs zero-model $yy")
+  }
+
   test("q195 per-dim health covers every dimension with sane bounds") {
     val rows = Q.byName("q195_embedding_dim_health").fn(spark, sf()).collect()
     assert(rows.length == 64)
