@@ -297,5 +297,69 @@ object CurationOps3 {
       |FROM sc CROSS JOIN generate_series(1, $dim) g(i)
       |ORDER BY dim""".stripMargin))
 
-  val all: Vector[Q] = Vector(q196, q197)
+  /** Perceptual-hash near-dup over the binary media payloads (aHash,
+    * the average-hash construction every image-dedup pipeline starts
+    * from): bit i of the 32-bit signature is set iff byte i is at or
+    * above the payload's own mean brightness — compared integer-exact
+    * as `byteᵢ·32 >= Σbytes`, so there is no float threshold to
+    * disagree on. Payload bytes ride the q54/q55 hex-domain bridge
+    * (real BinaryType on the Spark side, hex arithmetic in the
+    * oracle). Signatures then bucket by (kind, sig) — one groupBy +
+    * one join back, the exact-dedup shape (q39) applied to media: at
+    * 100 TB the signature is 4 bytes per asset and the shuffle keys
+    * are fixed-width, never the payloads.
+    */
+  val q198 = Q(
+    "q198_media_perceptual_dedup",
+    (s, dir) => {
+      val byteSum = expr(
+        """aggregate(sequence(1, 32), 0L,
+          |  (acc, i) -> acc + cast(conv(substring(hexp, i*2-1, 2), 16, 10) AS bigint))""".stripMargin)
+      val sig = expr(
+        """aggregate(sequence(1, 32), 0L,
+          |  (acc, i) -> acc + IF(
+          |    cast(conv(substring(hexp, i*2-1, 2), 16, 10) AS bigint) * 32 >= bytesum,
+          |    shiftleft(1L, i - 1), 0L))""".stripMargin)
+      val sigs = graft.multimodal.MediaPipeline
+        .withPayload(Tables.t(s, dir, "documents"))
+        .withColumn("hexp", hex(col("payload")))
+        .withColumn("bytesum", byteSum)
+        .withColumn("sig", sig)
+        .select("doc_id", "kind", "sig")
+      val groups = sigs.groupBy("kind", "sig")
+        .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical"))
+        .filter(col("group_size") >= 2)
+      sigs.join(groups, Seq("kind", "sig"))
+        .select(col("doc_id"), col("kind"), col("group_size"), col("canonical"),
+          (col("doc_id") =!= col("canonical")).cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |         WHEN n_chars % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    upper(md5(text) || md5(text || '1')) AS hexp
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, kind,
+      |    [(instr('0123456789ABCDEF', substr(hexp, i*2-1, 1)) - 1) * 16
+      |     + instr('0123456789ABCDEF', substr(hexp, i*2, 1)) - 1
+      |     for i in generate_series(1, 32)] AS bytes
+      |  FROM p),
+      |s AS (
+      |  SELECT doc_id, kind,
+      |    CAST(list_sum([CASE WHEN bytes[i] * 32 >= list_sum(bytes)
+      |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END
+      |      for i in generate_series(1, 32)]) AS BIGINT) AS sig
+      |  FROM b),
+      |g AS (
+      |  SELECT kind, sig, count(*) AS group_size, min(doc_id) AS canonical
+      |  FROM s GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT s.doc_id, s.kind, g.group_size, g.canonical,
+      |  CAST(s.doc_id <> g.canonical AS INTEGER) AS is_dup
+      |FROM s JOIN g ON g.kind = s.kind AND g.sig = s.sig
+      |ORDER BY doc_id""".stripMargin))
+
+  val all: Vector[Q] = Vector(q196, q197, q198)
 }

@@ -163,6 +163,25 @@ class CurationOps2Spec extends SparkSpec {
     assert(mse >= 0 && mse < yy, s"mse $mse vs zero-model $yy")
   }
 
+  test("q198 aHash groups contain every exact-payload duplicate") {
+    // sf0.1: the smaller fixtures contain no exact text dups at all
+    val out = Q.byName("q198_media_perceptual_dedup").fn(spark, sf("sf0.1"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("canonical"))).toMap
+    // identical payloads (= identical text, the payload derivation)
+    // must land in one signature group: same canonical for both
+    val dups = Tables.docs(spark, sf("sf0.1"))
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .collect().map(_.getSeq[Long](1))
+    assert(dups.nonEmpty, "fixture should contain exact dups")
+    dups.foreach { ids =>
+      val cans = ids.map(id => out.get(id)).distinct
+      assert(cans.size == 1 && cans.head.isDefined,
+        s"exact dups $ids must share one aHash group")
+    }
+  }
+
   test("q195 per-dim health covers every dimension with sane bounds") {
     val rows = Q.byName("q195_embedding_dim_health").fn(spark, sf()).collect()
     assert(rows.length == 64)
