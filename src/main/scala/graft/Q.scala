@@ -66,5 +66,6 @@ object Q {
       queries.Scalars2.all ++
       queries.CurationOps.all ++
       queries.CurationOps2.all ++
-      queries.CurationOps3.all
+      queries.CurationOps3.all ++
+      queries.CurationOps4.all
 }
