@@ -67,5 +67,6 @@ object Q {
       queries.CurationOps.all ++
       queries.CurationOps2.all ++
       queries.CurationOps3.all ++
-      queries.CurationOps4.all
+      queries.CurationOps4.all ++
+      queries.CurationOps5.all
 }
