@@ -68,5 +68,6 @@ object Q {
       queries.CurationOps2.all ++
       queries.CurationOps3.all ++
       queries.CurationOps4.all ++
-      queries.CurationOps5.all
+      queries.CurationOps5.all ++
+      queries.CurationOps6.all
 }

@@ -57,6 +57,13 @@ def main():
     sfdir, outdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
     subset = sys.argv[4].split(",") if len(sys.argv) > 4 else DEFAULT_SUBSET
     con = duckdb.connect()
+    # the sf10 PageRank/SemDeDup oracles spill tens of GB: keep DuckDB's
+    # temp on the big filesystem and give it an explicit memory budget
+    # (defaults OOM'd q180 and filled /tmp on q142 in round 5)
+    tmp = os.environ.get("DUCK_TMP", "/root/duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET temp_directory='{tmp}'")
+    con.sql(f"SET memory_limit='{os.environ.get('DUCK_MEM', '96GB')}'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         if os.path.isdir(path):
