@@ -69,5 +69,7 @@ object Q {
       queries.CurationOps3.all ++
       queries.CurationOps4.all ++
       queries.CurationOps5.all ++
-      queries.CurationOps6.all
+      queries.CurationOps6.all ++
+      queries.Analytics3.all ++
+      queries.CorpusOps3.all
 }

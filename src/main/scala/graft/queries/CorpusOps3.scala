@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus operators, third batch: a real iterative BPE merge-rule
+  * trainer (q123 mines the FIRST merge candidates; this trains five
+  * successive rules where each round's pair statistics reflect all
+  * earlier merges — the actual Sennrich et al. training loop).
+  */
+object CorpusOps3 {
+
+  /** Five BPE merge rounds over the corpus. Symbols live in a
+    * space-separated string per token; each round is (1) one
+    * map-side pair count over current symbols, (2) a 1-row top-pair
+    * frame broadcast into (3) one `replace` pass that applies the
+    * merge corpus-wide. Fully declarative — no driver collect; the
+    * per-round cost is one aggregation + one map over the corpus, so
+    * five rounds are a constant 5× of one pass at any scale. Both
+    * engines scan `replace` left-to-right non-overlapping, so merged
+    * corpora stay bit-identical. Output: the learned merge table
+    * (round, pair, frequency at merge time) — the artifact a
+    * tokenizer ships.
+    */
+  val q216 = Q(
+    "q216_bpe_train",
+    (s, dir) => {
+      // " d a t a " — sentinel spaces so a pair match is always
+      // space-delimited on both sides
+      def spaced(c: Column): Column =
+        concat(lit(" "), regexp_replace(c, "(.)", "$1 "))
+      var corpus: DataFrame = Tables.docs(s, dir)
+        .select(explode(Portable.tokens(col("text"))).as("tok"))
+        .select(spaced(col("tok")).as("sy"))
+      def pairCounts(c: DataFrame): DataFrame = c
+        // single-symbol tokens have no pairs; Spark's sequence(1, 0)
+        // would run DESCENDING and hit element_at(arr, 0)
+        .filter(size(split(trim(col("sy")), " ")) >= 2)
+        .select(explode(expr(
+          """transform(
+            |  sequence(1, size(split(trim(sy), ' ')) - 1),
+            |  i -> concat(element_at(split(trim(sy), ' '), i), ' ',
+            |              element_at(split(trim(sy), ' '), i + 1)))""".stripMargin))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      var merges: DataFrame = null
+      for (r <- 1 to 5) {
+        val top = pairCounts(corpus)
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .select(lit(r).as("round"), col("pair"), col("n"))
+        merges = if (merges == null) top else merges.unionAll(top)
+        corpus = corpus.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+          .select(expr(
+            "replace(sy, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
+            .as("sy"))
+          .localCheckpoint(true) // one pass per round, not r passes
+      }
+      merges.orderBy("round")
+    },
+    Some {
+      // the same five rounds unrolled as chained CTEs; DuckDB's
+      // replace has the identical left-to-right scan
+      val pairSql = (c: String) =>
+        s"""SELECT pair, count(*) AS n FROM (
+           |  SELECT unnest(list_transform(
+           |    range(1, len(string_split(trim(sy), ' '))),
+           |    i -> concat(string_split(trim(sy), ' ')[i], ' ',
+           |                string_split(trim(sy), ' ')[i + 1]))) AS pair
+           |  FROM $c)
+           |GROUP BY 1""".stripMargin
+      val rounds = (1 to 5).map { r =>
+        s"""t$r AS (SELECT pair, n FROM (${pairSql(s"c${r - 1}")})
+           |       ORDER BY n DESC, pair LIMIT 1),
+           |c$r AS (SELECT replace(sy, concat(' ', t$r.pair, ' '),
+           |          concat(' ', replace(t$r.pair, ' ', ''), ' ')) AS sy
+           |        FROM c${r - 1}, t$r)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 5).map(r =>
+        s"SELECT $r AS round, pair, n FROM t$r").mkString("\nUNION ALL ")
+      s"""WITH c0 AS (
+         |  SELECT concat(' ', regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sy
+         |  FROM (SELECT unnest(${Portable.tokensSql("text")}) AS tok
+         |        FROM documents)),
+         |$rounds
+         |SELECT CAST(round AS INTEGER) AS round, pair, n FROM (
+         |  $sel)
+         |ORDER BY round""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q216)
+}
