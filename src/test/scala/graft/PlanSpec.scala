@@ -269,4 +269,52 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2,
       s"expected decorrelated aggregate pair:\n${s.take(2000)}")
   }
+
+  test("q205/q207: cut-point and centroid frames broadcast into the fact pass") {
+    for (name <- Seq("q205_label_outliers", "q207_winsorized_stats")) {
+      val df = q(name)
+      df.collect()
+      val s = planString(df)
+      assert(s.contains("BroadcastHashJoin"),
+        s"$name must broadcast its tiny stats frame:\n${s.take(2000)}")
+      assert(!s.contains("SortMergeJoin"),
+        s"$name must not sort-merge the fact table against a stats frame:\n${s.take(2000)}")
+    }
+  }
+
+  test("q214: sweep-line cumsum plans with NO partition-less window over the data") {
+    val df = q("q214_concurrency_sweep")
+    df.collect()
+    val s = planString(df)
+    // Dist.globalCumsumBy windows WITHIN __pid buckets; a bare
+    // `Window [..ORDER BY..]` with an empty partition spec would
+    // funnel every boundary through one task at scale
+    val bare = "Window \\[[^\\]]*\\], \\[\\]".r
+    assert(bare.findFirstIn(s).isEmpty,
+      s"q214 must not plan a partition-less window:\n${s.take(2500)}")
+  }
+
+  test("q216: each BPE round applies its merge as a broadcast, never a shuffle join") {
+    val df = q("q216_bpe_train")
+    df.collect()
+    val s = planString(df)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"the 1-row merge rule must broadcast into the corpus pass:\n${s.take(2500)}")
+  }
+
+  test("q199: exact top-20 inside the sketch audit plans as TakeOrdered, panel is bounded") {
+    // the returned frame is the 20-row driver-built panel — it must
+    // be a LocalTableScan (nothing data-proportional flows out) …
+    val s = q("q199_heavy_hitters_cms").queryExecution.executedPlan.toString
+    assert(s.contains("LocalTableScan"), s.take(1500))
+    // … and the top-20 building block the fn runs internally must be
+    // a TakeOrderedAndProject over grouped counts, not a global sort
+    import org.apache.spark.sql.functions._
+    val toks = Tables.docs(spark, sf())
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("token"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      top.queryExecution.executedPlan.toString.take(1500))
+  }
 }
