@@ -71,5 +71,6 @@ object Q {
       queries.CurationOps5.all ++
       queries.CurationOps6.all ++
       queries.Analytics3.all ++
-      queries.CorpusOps3.all
+      queries.CorpusOps3.all ++
+      queries.PipelineOps3.all
 }
