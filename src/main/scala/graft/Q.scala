@@ -72,5 +72,6 @@ object Q {
       queries.CurationOps6.all ++
       queries.Analytics3.all ++
       queries.CorpusOps3.all ++
-      queries.PipelineOps3.all
+      queries.PipelineOps3.all ++
+      queries.StreamingOps2.all
 }

@@ -89,5 +89,75 @@ object CorpusOps3 {
          |ORDER BY round""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(q216)
+  /** Contrastive-training negative mining for the first 20 query
+    * docs: three HARD negatives (same language, closest length, but
+    * verified NOT near-dups — token Jaccard < 0.5 via the codegen'd
+    * sorted-hash intersect) and two RANDOM negatives (different
+    * language, ranked by the portable md5 of the pair key, so the
+    * "random" draw is reproducible across engines and cluster
+    * sizes). The tiny query side broadcasts against the corpus —
+    * q48's scale shape — and each negative list is a per-query
+    * window over that bounded candidate stream.
+    */
+  val q219 = Q(
+    "q219_negative_mining",
+    (s, dir) => {
+      graft.functions.Md5Long60.register(s)
+      graft.functions.SetOps.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Portable.md5Sorted(Portable.tokenSet(col("text"))).as("th"))
+      val qs = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("lang").as("qlang"),
+          col("n_chars").as("qchars"), col("th").as("qth"))
+      val hard = d.join(broadcast(qs),
+          col("lang") === col("qlang") && col("doc_id") =!= col("qid"))
+        .withColumn("c", expr("sorted_intersect_count(th, qth)"))
+        .withColumn("jac",
+          col("c") / (size(col("th")) + size(col("qth")) - col("c")))
+        .filter(col("jac") < 0.5)
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(abs(col("n_chars") - col("qchars")), col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid").as("query_id"), lit("hard").as("kind"),
+          col("rank"), col("doc_id").as("neg_id"))
+      val rand = d.join(broadcast(qs), col("lang") =!= col("qlang"))
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(Portable.md5Long(concat(lit("neg:"), col("qid"), lit(":"),
+            col("doc_id"))), col("doc_id"))))
+        .filter(col("rank") <= 2)
+        .select(col("qid").as("query_id"), lit("random").as("kind"),
+          col("rank"), col("doc_id").as("neg_id"))
+      hard.unionByName(rand).orderBy("query_id", "kind", "rank")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, lang, n_chars, ${Portable.tokenSetSql("text")} AS toks
+      |  FROM documents),
+      |qs AS (SELECT doc_id AS qid, lang AS qlang, n_chars AS qchars,
+      |         toks AS qtoks
+      |       FROM d WHERE doc_id < 20),
+      |hard AS (
+      |  SELECT qid AS query_id, 'hard' AS kind, rank, doc_id AS neg_id FROM (
+      |    SELECT qs.qid, d.doc_id,
+      |      row_number() OVER (PARTITION BY qs.qid
+      |        ORDER BY abs(d.n_chars - qs.qchars), d.doc_id) AS rank
+      |    FROM d JOIN qs ON d.lang = qs.qlang AND d.doc_id <> qs.qid
+      |    WHERE len(list_intersect(d.toks, qs.qtoks)) /
+      |          len(list_distinct(list_concat(d.toks, qs.qtoks))) < 0.5)
+      |  WHERE rank <= 3),
+      |rand AS (
+      |  SELECT qid AS query_id, 'random' AS kind, rank, doc_id AS neg_id FROM (
+      |    SELECT qs.qid, d.doc_id,
+      |      row_number() OVER (PARTITION BY qs.qid
+      |        ORDER BY ${Portable.md5LongSql(
+             "concat('neg:', qid, ':', doc_id)")}, d.doc_id) AS rank
+      |    FROM d JOIN qs ON d.lang <> qs.qlang)
+      |  WHERE rank <= 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, kind,
+      |  CAST(rank AS INTEGER) AS rank, neg_id
+      |FROM (SELECT * FROM hard UNION ALL SELECT * FROM rand)
+      |ORDER BY query_id, kind, rank""".stripMargin))
+
+  val all: Vector[Q] = Vector(q216, q219)
 }

@@ -401,6 +401,21 @@ object EventStreams {
     * setting. Every run-to-completion path goes through here so the
     * state-sizing rule lives in exactly one place.
     */
+  /** Global count-min sketch over the stream (complete mode): the
+    * sketch aggregation buffer IS the streaming state, merged across
+    * micro-batches — the mergeability q199's batch form relies on,
+    * exercised through the streaming engine. Returns one row
+    * (sketch bytes, total count).
+    */
+  def cmsOverStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .groupBy()
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n"))
+    runToCompletion(agg, "complete", queryName)
+  }
+
   private def drain(
       spark: SparkSession,
       writer: org.apache.spark.sql.streaming.DataStreamWriter[
