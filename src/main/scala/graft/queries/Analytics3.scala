@@ -88,9 +88,13 @@ object Analytics3 {
         .groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
         .agg(count(lit(1)).as("n_pair"))
         .filter(col("n_pair") >= 2)
+      // no forced broadcast: the item-count table is #parts rows —
+      // dimension-sized today, but at 1000× it outgrows broadcast
+      // comfort; AQE picks broadcast while it fits and falls back to
+      // a key-partitioned join when it doesn't
       pairs
-        .join(broadcast(item.select(col("pk").as("part_a"), col("n_item").as("n_a"))), "part_a")
-        .join(broadcast(item.select(col("pk").as("part_b"), col("n_item").as("n_b"))), "part_b")
+        .join(item.select(col("pk").as("part_a"), col("n_item").as("n_a")), "part_a")
+        .join(item.select(col("pk").as("part_b"), col("n_item").as("n_b")), "part_b")
         .withColumn("confidence", round(col("n_pair").cast("double") / col("n_a"), 6))
         .withColumn("lift", round(
           (col("n_pair") * lit(nOrders)).cast("double") / (col("n_a") * col("n_b")), 6))

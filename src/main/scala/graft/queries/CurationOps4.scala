@@ -166,21 +166,33 @@ object CurationOps4 {
 
   /** Curriculum schedule: documents ranked by lexical diversity
     * (distinct/total token ratio — a per-row exact division), cut
-    * into deciles with a total-order ntile, grouped into the three
-    * training phases. Phase means divide an exact decimal(18,6) sum
-    * once ([[Portable.moneyAvg]] rationale), so no float fold-order
-    * hazard at any scale; ntile + the doc_id tiebreak make the decile
+    * into deciles, grouped into the three training phases. Deciles
+    * come from [[graft.functions.Dist.globalRank]] — the
+    * range-bucketed two-phase rank — NOT a global ntile window,
+    * which would funnel the whole corpus through one task; the
+    * rank-arithmetic decile (first n % 10 deciles get the extra row)
+    * reproduces ntile's bucket sizes exactly, so the DuckDB oracle
+    * can still say ntile. Phase means divide an exact decimal(18,6)
+    * sum once ([[Portable.moneyAvg]] rationale), so no float
+    * fold-order hazard at any scale; the doc_id tiebreak makes the
     * assignment reproducible across engines and cluster sizes.
     */
   val q202 = Q(
     "q202_curriculum_phases",
     (s, dir) => {
-      val scored = docs(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"),
           round(size(array_distinct(Portable.tokens(col("text"))))
             .cast("double") / size(Portable.tokens(col("text"))), 6).as("score"))
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy(col("score"), col("doc_id"))))
+      val ranked = graft.functions.Dist.globalRank(
+        base, Seq(col("score"), col("doc_id")), "rnk", 32)
+      val n = ranked.count()
+      // ntile semantics via rank arithmetic: bucket size ⌈n/10⌉ for
+      // the first n%10 deciles, ⌊n/10⌋ after — identical assignment
+      val big = n % 10; val small = n / 10; val cut = big * (small + 1)
+      val scored = ranked.withColumn("decile", expr(
+        s"""CAST(CASE WHEN rnk <= $cut THEN (rnk - 1) div ${small + 1}
+           |     ELSE $big + (rnk - 1 - $cut) div $small END AS INT) + 1""".stripMargin))
       scored
         .withColumn("phase",
           when(col("decile") <= 3, "p1_easy")

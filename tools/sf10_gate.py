@@ -64,6 +64,10 @@ def main():
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET temp_directory='{tmp}'")
     con.sql(f"SET memory_limit='{os.environ.get('DUCK_MEM', '96GB')}'")
+    # unordered execution lets DuckDB stream/spill operators that
+    # otherwise pin whole intermediates (q180's OOM shape); results
+    # all carry explicit ORDER BYs so output order is unaffected
+    con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         if os.path.isdir(path):
