@@ -73,5 +73,6 @@ object Q {
       queries.Analytics3.all ++
       queries.CorpusOps3.all ++
       queries.PipelineOps3.all ++
-      queries.StreamingOps2.all
+      queries.StreamingOps2.all ++
+      queries.GraphOps2.all
 }

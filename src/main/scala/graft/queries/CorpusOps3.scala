@@ -71,15 +71,15 @@ object CorpusOps3 {
            |  FROM $c)
            |GROUP BY 1""".stripMargin
       val rounds = (1 to 5).map { r =>
-        s"""t$r AS (SELECT pair, n FROM (${pairSql(s"c${r - 1}")})
+        s"""t$r AS MATERIALIZED (SELECT pair, n FROM (${pairSql(s"c${r - 1}")})
            |       ORDER BY n DESC, pair LIMIT 1),
-           |c$r AS (SELECT replace(sy, concat(' ', t$r.pair, ' '),
+           |c$r AS MATERIALIZED (SELECT replace(sy, concat(' ', t$r.pair, ' '),
            |          concat(' ', replace(t$r.pair, ' ', ''), ' ')) AS sy
            |        FROM c${r - 1}, t$r)""".stripMargin
       }.mkString(",\n")
       val sel = (1 to 5).map(r =>
         s"SELECT $r AS round, pair, n FROM t$r").mkString("\nUNION ALL ")
-      s"""WITH c0 AS (
+      s"""WITH c0 AS MATERIALIZED (
          |  SELECT concat(' ', regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sy
          |  FROM (SELECT unnest(${Portable.tokensSql("text")}) AS tok
          |        FROM documents)),

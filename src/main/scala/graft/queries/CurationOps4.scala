@@ -142,21 +142,21 @@ object CurationOps4 {
     },
     Some("""WITH items AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      |pairs AS (SELECT a.p AS x, b.p AS y
+      |pairs AS MATERIALIZED (SELECT a.p AS x, b.p AS y
       |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
       |          GROUP BY 1, 2 HAVING count(*) >= 2),
-      |e2 AS (SELECT x AS src, y AS dst FROM pairs
+      |e2 AS MATERIALIZED (SELECT x AS src, y AS dst FROM pairs
       |       UNION ALL SELECT y, x FROM pairs),
-      |l0 AS (SELECT DISTINCT p AS node, p AS lbl FROM items),
-      |l1 AS (SELECT v.node, LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
+      |l0 AS MATERIALIZED (SELECT DISTINCT p AS node, p AS lbl FROM items),
+      |l1 AS MATERIALIZED (SELECT v.node, LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
       |       FROM l0 v LEFT JOIN e2 ON e2.src = v.node
       |                 LEFT JOIN l0 u ON u.node = e2.dst
       |       GROUP BY v.node, v.lbl),
-      |l2 AS (SELECT v.node, LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
+      |l2 AS MATERIALIZED (SELECT v.node, LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
       |       FROM l1 v LEFT JOIN e2 ON e2.src = v.node
       |                 LEFT JOIN l1 u ON u.node = e2.dst
       |       GROUP BY v.node, v.lbl),
-      |l3 AS (SELECT v.node, LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
+      |l3 AS MATERIALIZED (SELECT v.node, LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
       |       FROM l2 v LEFT JOIN e2 ON e2.src = v.node
       |                 LEFT JOIN l2 u ON u.node = e2.dst
       |       GROUP BY v.node, v.lbl)

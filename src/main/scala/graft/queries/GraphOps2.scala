@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics, second batch: HITS hub/authority scoring on the
+  * bipartite customer→part purchase graph and bounded-round k-core
+  * peeling on the co-purchase graph. Both follow the q201/q142
+  * iterative contract: a FIXED unrolled round count, one aggregation
+  * + one join per round, edge tables bounded by Σ basketᵢ², and pure
+  * integer arithmetic throughout — no double fold-order hazard ever
+  * enters the plan. The oracle CTE chains are MATERIALIZED: DuckDB
+  * inlines multi-referenced CTEs, so an unrolled round chain
+  * otherwise expands exponentially (the un-materialized q221 oracle
+  * spilled past 77 GB at sf1; materialized it runs in seconds).
+  */
+object GraphOps2 {
+
+  /** Three HITS rounds in PURE INTEGER arithmetic: h⁰ = 1; a = Σ h
+    * over in-edges; h = Σ a over out-edges. Max-normalization is a
+    * positive per-round scalar, so dropping it leaves every round's
+    * RANKING identical to textbook HITS while removing the
+    * decimal→double cast whose last-ulp rounding the two engines
+    * don't guarantee to share. Unnormalized scores grow ~(d_u·d_p)
+    * per round — bounded by int64 here and at the shard-constant
+    * sf10 fixtures; a production run at genuinely unbounded degrees
+    * would reintroduce normalization in decimal. Output: top-10
+    * parts by round-3 authority.
+    */
+  val q220 = Q(
+    "q220_hits_scores",
+    (s, dir) => {
+      val e = Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      var h: DataFrame = e.select(col("u")).distinct()
+        .withColumn("h", lit(1L))
+      var a: DataFrame = null
+      for (_ <- 1 to 3) {
+        a = e.join(h, "u").groupBy("p").agg(sum("h").cast("long").as("a"))
+        h = e.join(a, "p").groupBy("u").agg(sum("a").cast("long").as("h"))
+      }
+      a.select(col("p").as("part"), col("a").as("authority"))
+        .orderBy(col("authority").desc, col("part")).limit(10)
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""a$r AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) AS a
+           |        FROM e JOIN h${r - 1} USING (u) GROUP BY 1),
+           |h$r AS MATERIALIZED (SELECT u, CAST(sum(a) AS BIGINT) AS h
+           |        FROM e JOIN a$r USING (p) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS u, l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS MATERIALIZED (SELECT DISTINCT u, CAST(1 AS BIGINT) AS h FROM e),
+         |$rounds
+         |SELECT p AS part, a AS authority
+         |FROM a3
+         |ORDER BY authority DESC, part LIMIT 10""".stripMargin
+    })
+
+  /** Three k-core peel rounds (k = 60) on the co-purchase graph:
+    * each round drops nodes whose degree within the surviving set is
+    * < k. The distinct-pair graph has a scale-invariant degree
+    * distribution on these fixtures (shards reproduce the per-part
+    * co-purchase density), so one k stays non-degenerate from
+    * sf0.001 through sf10 — a support-thresholded variant (q201's
+    * graph) thins with part cardinality and 3-cores vanish above
+    * sf0.01. Output: top-20 survivors by final-round in-core degree.
+    * All integer arithmetic; each round is one alive-semi-join + one
+    * degree aggregation.
+    */
+  val q221 = Q(
+    "q221_kcore_peel",
+    (s, dir) => {
+      val items = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = items.alias("a")
+        .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+      val e2 = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .localCheckpoint(true)
+      var alive: DataFrame = e2.select(col("src").as("node")).distinct()
+      for (_ <- 1 to 3) {
+        val deg = e2
+          .join(alive.select(col("node").as("src")), "src")
+          .join(alive.select(col("node").as("dst")), "dst")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        alive = deg.filter(col("deg") >= 60).select("node").localCheckpoint(true)
+      }
+      val finalDeg = e2
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      finalDeg
+        .orderBy(col("deg").desc, col("node")).limit(20)
+    },
+    Some("""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS MATERIALIZED (SELECT DISTINCT a.p AS x, b.p AS y
+      |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      |e2 AS MATERIALIZED (SELECT x AS src, y AS dst FROM pairs
+      |       UNION ALL SELECT y, x FROM pairs),
+      |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e2),
+      |a1 AS MATERIALIZED (SELECT src AS node FROM e2
+      |       JOIN a0 s ON s.node = e2.src JOIN a0 d ON d.node = e2.dst
+      |       GROUP BY 1 HAVING count(*) >= 60),
+      |a2 AS MATERIALIZED (SELECT src AS node FROM e2
+      |       JOIN a1 s ON s.node = e2.src JOIN a1 d ON d.node = e2.dst
+      |       GROUP BY 1 HAVING count(*) >= 60),
+      |a3 AS MATERIALIZED (SELECT src AS node FROM e2
+      |       JOIN a2 s ON s.node = e2.src JOIN a2 d ON d.node = e2.dst
+      |       GROUP BY 1 HAVING count(*) >= 60),
+      |core AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e2
+      |         JOIN a3 s ON s.node = e2.src JOIN a3 d ON d.node = e2.dst
+      |         GROUP BY 1)
+      |SELECT node, deg FROM core
+      |ORDER BY deg DESC, node LIMIT 20""".stripMargin))
+
+  val all: Vector[Q] = Vector(q220, q221)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver recomputations for the q220/q221 graph additions. */
+class GraphOps2Spec extends SparkSpec {
+
+  private def purchases: Array[(Long, Long)] =
+    Tables.t(spark, sf(), "lineitem")
+      .join(Tables.t(spark, sf(), "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("q220 authorities equal an exact integer HITS recompute") {
+    val out = Q.byName("q220_hits_scores").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = purchases
+    var h = e.map(_._1).distinct.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      a = e.groupBy(_._2).map { case (p, es) => p -> es.map(x => h(x._1)).sum }
+      h = e.groupBy(_._1).map { case (u, es) => u -> es.map(x => a(x._2)).sum }
+    }
+    val want = a.toSeq.sortBy { case (p, s) => (-s, p) }.take(10)
+    assert(out.toSeq == want, s"spark ${out.toSeq} vs driver $want")
+  }
+
+  test("q221 survivors equal an exact k-core peel and all have deg >= 3") {
+    val out = Q.byName("q221_kcore_peel").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val items = Tables.t(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = collection.mutable.Map.empty[(Long, Long), Int]
+    items.groupBy(_._1).values.foreach { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val k = (ps(i), ps(j))
+        cnt(k) = cnt.getOrElse(k, 0) + 1
+      }
+    }
+    // NOTE: Map.collect returning a tuple would rebuild a MAP (keyed
+    // by the pair's first element) — filter + keySet keeps the pairs
+    val pairs = cnt.keySet.toSet
+    val adj = collection.mutable.Map.empty[Long, Set[Long]]
+    pairs.foreach { case (x, y) =>
+      adj(x) = adj.getOrElse(x, Set.empty) + y
+      adj(y) = adj.getOrElse(y, Set.empty) + x
+    }
+    var alive: Set[Long] = adj.keySet.toSet
+    for (_ <- 1 to 3)
+      alive = alive.filter(n => (adj(n) & alive).size >= 60)
+    val deg = alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    val want = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(20)
+    assert(out.toSeq == want, s"spark ${out.toSeq} vs driver $want")
+    assert(out.nonEmpty)
+  }
+}
