@@ -64,25 +64,25 @@ object GraphOps {
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
     },
-    Some("""WITH e AS (
+    Some("""WITH e AS MATERIALIZED (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |sym AS (SELECT src, dst FROM e
+      |sym AS MATERIALIZED (SELECT src, dst FROM e
       |        UNION ALL SELECT dst AS src, src AS dst FROM e),
-      |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
-      |nn AS (SELECT count(*) AS n FROM deg),
-      |pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
-      |pr1 AS (
+      |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+      |pr0 AS MATERIALIZED (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+      |pr1 AS MATERIALIZED (
       |  SELECT dst AS node,
       |    0.15 / (SELECT n FROM nn) + 0.85 * sum(pr / deg) AS pr
       |  FROM sym JOIN pr0 ON sym.src = pr0.node JOIN deg USING (src)
       |  GROUP BY dst),
-      |pr2 AS (
+      |pr2 AS MATERIALIZED (
       |  SELECT dst AS node,
       |    0.15 / (SELECT n FROM nn) + 0.85 * sum(pr / deg) AS pr
       |  FROM sym JOIN pr1 ON sym.src = pr1.node JOIN deg USING (src)
       |  GROUP BY dst),
-      |pr3 AS (
+      |pr3 AS MATERIALIZED (
       |  SELECT dst AS node,
       |    0.15 / (SELECT n FROM nn) + 0.85 * sum(pr / deg) AS pr
       |  FROM sym JOIN pr2 ON sym.src = pr2.node JOIN deg USING (src)

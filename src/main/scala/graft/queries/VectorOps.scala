@@ -126,7 +126,7 @@ object VectorOps {
       |    FROM embeddings, generate_series(1, 64) g(i)
       |    GROUP BY 1, 2)
       |  GROUP BY clabel),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT label, clabel FROM (
       |    SELECT e.label, c.clabel,
       |      row_number() OVER (PARTITION BY e.vec_id
@@ -256,7 +256,7 @@ object VectorOps {
       |    FROM embeddings, generate_series(1, 64) g(i)
       |    GROUP BY 1, 2)
       |  GROUP BY clabel),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, cell,
       |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
       |  FROM (
@@ -358,7 +358,7 @@ object VectorOps {
       |    FROM embeddings, generate_series(1, 64) g(i)
       |    GROUP BY 1, 2)
       |  GROUP BY clabel),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, cell,
       |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
       |  FROM (
@@ -512,10 +512,10 @@ object VectorOps {
     Some(s"""WITH st AS (
       |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
       |  FROM embeddings),
-      |seeds AS (
+      |seeds AS MATERIALIZED (
       |  SELECT vec_id AS seed_id, embedding AS svec
       |  FROM embeddings CROSS JOIN st WHERE vec_id % st.step = 0),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, cell,
       |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
       |  FROM (
@@ -559,7 +559,7 @@ object VectorOps {
     Some(s"""WITH st AS (
       |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS step
       |  FROM embeddings),
-      |seeds AS (
+      |seeds AS MATERIALIZED (
       |  SELECT vec_id AS seed_id, embedding AS svec
       |  FROM embeddings CROSS JOIN st WHERE vec_id % st.step = 0),
       |kc AS (
@@ -569,21 +569,21 @@ object VectorOps {
       |  SELECT seed_id AS ss_id, svec AS ssvec
       |  FROM seeds CROSS JOIN st CROSS JOIN kc
       |  WHERE seed_id % (st.step * kc.m) = 0),
-      |seedcell AS (
+      |seedcell AS MATERIALIZED (
       |  SELECT scell, seed_id, svec FROM (
       |    SELECT s.seed_id, s.svec, x.ss_id AS scell,
       |      row_number() OVER (PARTITION BY s.seed_id
       |        ORDER BY round(${V.dist2Sql("s.svec", "x.ssvec")}, 6), x.ss_id) AS rn
       |    FROM seeds s CROSS JOIN ss x)
       |  WHERE rn = 1),
-      |vecsuper AS (
+      |vecsuper AS MATERIALIZED (
       |  SELECT vec_id, embedding, scell FROM (
       |    SELECT e.vec_id, e.embedding, x.ss_id AS scell,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY round(${V.dist2Sql("e.embedding", "x.ssvec")}, 6), x.ss_id) AS rn
       |    FROM embeddings e CROSS JOIN ss x)
       |  WHERE rn = 1),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, cell,
       |    sqrt(${V.dotSql("embedding", "embedding")}) AS nrm
       |  FROM (
