@@ -312,19 +312,19 @@ object CurationOps3 {
   val q198 = Q(
     "q198_media_perceptual_dedup",
     (s, dir) => {
-      val byteSum = expr(
-        """aggregate(sequence(1, 32), 0L,
-          |  (acc, i) -> acc + cast(conv(substring(hexp, i*2-1, 2), 16, 10) AS bigint))""".stripMargin)
-      val sig = expr(
-        """aggregate(sequence(1, 32), 0L,
-          |  (acc, i) -> acc + IF(
-          |    cast(conv(substring(hexp, i*2-1, 2), 16, 10) AS bigint) * 32 >= bytesum,
-          |    shiftleft(1L, i - 1), 0L))""".stripMargin)
+      // one codegen'd pass over the payload bytes ([[graft.functions
+      // .AHash32]]). The previous higher-order formulation computed
+      // bytesum as an aggregate HOF and referenced it inside the sig
+      // lambda; Catalyst's projection collapse inlined the whole
+      // 32-step bytesum into each of sig's 32 iterations — 32×32
+      // interpreted conv/substring per row, evaluated twice (groups +
+      // join) = 33 s of the sf0.1 bench for 5 000 rows. The kernel is
+      // bit-identical (KernelPropSpec) and leaves the scan inside
+      // whole-stage codegen.
+      graft.functions.AHash32.register(s)
       val sigs = graft.multimodal.MediaPipeline
         .withPayload(Tables.t(s, dir, "documents"))
-        .withColumn("hexp", hex(col("payload")))
-        .withColumn("bytesum", byteSum)
-        .withColumn("sig", sig)
+        .withColumn("sig", expr("ahash32(payload)"))
         .select("doc_id", "kind", "sig")
       val groups = sigs.groupBy("kind", "sig")
         .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical"))

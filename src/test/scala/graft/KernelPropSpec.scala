@@ -191,4 +191,21 @@ class KernelPropSpec extends AnyFunSuite {
       assert(got == reference(toks), s"toks=$toks")
     }
   }
+
+  test("ahash32 kernel == the hex-domain mean-threshold formulation") {
+    import graft.functions.AHash32
+    val payloads: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    def reference(p: Array[Byte]): Long = {
+      val bytes = p.take(32).map(_ & 0xff)
+      val sum = bytes.map(_.toLong).sum
+      bytes.zipWithIndex.collect {
+        case (b, i) if b.toLong * 32 >= sum => 1L << i
+      }.sum
+    }
+    samples(payloads, n = 300).foreach { p =>
+      assert(AHash32.ahash(p) == reference(p), s"payload=${p.toSeq}")
+    }
+  }
 }
