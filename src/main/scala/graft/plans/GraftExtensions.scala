@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig(x.head, intLit(x(1))))
     inject("simhash32", classOf[SimHash32])(x => SimHash32(x.head))
     inject("ahash32", classOf[AHash32])(x => AHash32(x.head))
+    inject("symbol_pairs", classOf[SymbolPairs])(x => SymbolPairs(x.head))
     inject("md5_sorted", classOf[Md5Sorted])(x => Md5Sorted(x.head))
     inject("bigram_hashes", classOf[BigramHashes])(x => BigramHashes(x.head))
     inject("bigram_strings", classOf[BigramStrings])(x => BigramStrings(x.head))

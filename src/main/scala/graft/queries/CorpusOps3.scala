@@ -34,16 +34,13 @@ object CorpusOps3 {
       var corpus: DataFrame = Tables.docs(s, dir)
         .select(explode(Portable.tokens(col("text"))).as("tok"))
         .select(spaced(col("tok")).as("sy"))
+      // one codegen'd pass per row ([[graft.functions.SymbolPairs]]);
+      // the HOF formulation re-split the symbol string per lambda
+      // element and dominated the sf10 pair-count stage. Single-symbol
+      // tokens yield an empty array (explode emits nothing).
+      graft.functions.SymbolPairs.register(s)
       def pairCounts(c: DataFrame): DataFrame = c
-        // single-symbol tokens have no pairs; Spark's sequence(1, 0)
-        // would run DESCENDING and hit element_at(arr, 0)
-        .filter(size(split(trim(col("sy")), " ")) >= 2)
-        .select(explode(expr(
-          """transform(
-            |  sequence(1, size(split(trim(sy), ' ')) - 1),
-            |  i -> concat(element_at(split(trim(sy), ' '), i), ' ',
-            |              element_at(split(trim(sy), ' '), i + 1)))""".stripMargin))
-          .as("pair"))
+        .select(explode(expr("symbol_pairs(sy)")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
       var merges: DataFrame = null
       for (r <- 1 to 5) {

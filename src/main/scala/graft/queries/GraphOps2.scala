@@ -86,8 +86,13 @@ object GraphOps2 {
       val e2 = pairs.select(col("x").as("src"), col("y").as("dst"))
         .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
         .localCheckpoint(true)
-      var alive: DataFrame = e2.select(col("src").as("node")).distinct()
-      for (_ <- 1 to 3) {
+      // round 1: alive = every node, so both semi-joins are no-ops —
+      // degree is a straight count over e2 (saves two joins of the
+      // largest round; the e2 scan itself is the irreducible cost)
+      var alive: DataFrame = e2
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 60).select("node").localCheckpoint(true)
+      for (_ <- 2 to 3) {
         val deg = e2
           .join(alive.select(col("node").as("src")), "src")
           .join(alive.select(col("node").as("dst")), "dst")

@@ -208,4 +208,21 @@ class KernelPropSpec extends AnyFunSuite {
       assert(AHash32.ahash(p) == reference(p), s"payload=${p.toSeq}")
     }
   }
+
+  test("symbol_pairs kernel == the split + adjacent-concat formulation") {
+    import graft.functions.SymbolPairs
+    import org.apache.spark.unsafe.types.UTF8String
+    val syms: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "b", "ab", "xyz", "q"))
+    samples(syms, n = 300).foreach { ss =>
+      val sy = " " + ss.mkString(" ") + " "
+      val got = SymbolPairs.pairs(UTF8String.fromString(sy))
+      val want = ss.sliding(2).collect {
+        case List(x, y) => s"$x $y"
+      }.toList
+      val gotList = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString).toList
+      assert(gotList == want, s"sy='$sy'")
+    }
+  }
 }
