@@ -14,6 +14,47 @@ import org.apache.spark.sql.SparkSession
   * would allow.
   */
 object Bench {
+
+  /** FROZEN envelope denominator (VERDICT r5 #3): the r1 headline
+    * set — the 70 queries of the first recorded BENCH_r01 run minus
+    * the two demoted quadratic baselines (q40, q67; `Q.baselines`).
+    * BASELINE.md's 2× rule is only meaningful against a stable
+    * query population, so this list never changes as the registry
+    * grows; `total_headline` in the emitted JSON is the number to
+    * hold within the envelope (r1: ~64 s; r5 isolated: 29.3 s).
+    */
+  val headline: Set[String] = Set(
+    "q01_pricing_summary", "q02_filter_predicates",
+    "q03_join_orders_customers", "q04_revenue_by_nation",
+    "q05_left_join_customer_orders", "q06_full_outer_nation_counts",
+    "q07_semi_join_parts_sold", "q08_anti_join_idle_customers",
+    "q09_cross_join_regions", "q10_nonequi_nation_pairs",
+    "q11_range_join_ship_lag", "q12_set_operations", "q13_rollup_orders",
+    "q14_cube_orders", "q15_grouping_sets_customer",
+    "q16_distinct_aggregates", "q17_having_brand_share",
+    "q18_collect_set_segments", "q19_percentiles_quantity",
+    "q20_column_stats_lineitem", "q21_window_rank_top_customers",
+    "q22_window_lag_order_gaps", "q23_window_frames_running",
+    "q24_window_range_frame", "q25_topk_orders",
+    "q26_topk_parts_per_brand", "q27_window_distribution",
+    "q28_string_functions", "q29_datetime_functions", "q30_math_functions",
+    "q31_conditional_buckets", "q32_json_extract_events",
+    "q33_hash_functions", "q34_tumbling_window", "q35_sliding_window",
+    "q36_session_window", "q37_asof_last_click", "q38_event_dedup_first",
+    "q39_dedup_exact", "q41_dedup_minhash_lsh", "q42_dedup_simhash",
+    "q43_ngram_jaccard", "q44_token_stats_by_lang", "q45_lang_id_profile",
+    "q46_quality_score", "q47_fingerprint_shingles",
+    "q48_cosine_topk_bruteforce", "q49_label_centroids",
+    "q50_nearest_centroid_confusion", "q51_ann_lsh_hyperplane",
+    "q52_multimodal_join", "q53_schema_preview_documents",
+    "q54_media_metadata", "q54b_media_frame_sample",
+    "q55_media_decode_features", "q56_stream_tumbling_counts",
+    "q57_stateful_sessionize", "q58_map_functions", "q59_udf_udaf",
+    "q60_approx_aggregates", "q61_limit_offset", "q62_from_json_struct",
+    "q63_pivot_status", "q64_correlated_subquery",
+    "q65_lateral_view_explode", "q66_ivf_search", "q68_setops_all",
+    "q69_window_nth_value")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,8 +124,10 @@ object Bench {
     val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val totalHeadline = results
+      .collect { case (n, v, _) if v >= 0 && headline.contains(n) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_headline":$totalHeadline,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

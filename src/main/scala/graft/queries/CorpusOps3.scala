@@ -43,16 +43,35 @@ object CorpusOps3 {
         .select(explode(expr("symbol_pairs(sy)")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
       var merges: DataFrame = null
+      // Checkpoint lifecycle: each round's 1-row top frame is pinned
+      // eagerly (so `merges` never re-reads a corpus copy), and the
+      // PREVIOUS round's corpus checkpoint is freed as soon as the
+      // round that read it has materialized — exactly one
+      // corpus-sized copy lives in executor storage at any time
+      // (ConnectedComponents.scala's rotate pattern; at corpus scale
+      // the production swap is a reliable `checkpoint` to durable
+      // storage, same lifecycle). Round 5 needs no corpus update at
+      // all — its merge rule is the last output.
+      var prevCk: DataFrame = null
       for (r <- 1 to 5) {
         val top = pairCounts(corpus)
           .orderBy(col("n").desc, col("pair")).limit(1)
           .select(lit(r).as("round"), col("pair"), col("n"))
+          .localCheckpoint(true) // 1 row — pins the round's rule
         merges = if (merges == null) top else merges.unionAll(top)
-        corpus = corpus.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-          .select(expr(
-            "replace(sy, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
-            .as("sy"))
-          .localCheckpoint(true) // one pass per round, not r passes
+        if (r < 5) {
+          val next = corpus
+            .crossJoin(broadcast(top.select(col("pair").as("mp"))))
+            .select(expr(
+              "replace(sy, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
+              .as("sy"))
+            .localCheckpoint(true) // one pass per round, not r passes
+          if (prevCk != null)
+            org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
+          prevCk = next
+          corpus = next
+        } else if (prevCk != null)
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
       }
       merges.orderBy("round")
     },

@@ -17,16 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps2 {
 
-  /** Three HITS rounds in PURE INTEGER arithmetic: h⁰ = 1; a = Σ h
-    * over in-edges; h = Σ a over out-edges. Max-normalization is a
-    * positive per-round scalar, so dropping it leaves every round's
-    * RANKING identical to textbook HITS while removing the
-    * decimal→double cast whose last-ulp rounding the two engines
-    * don't guarantee to share. Unnormalized scores grow ~(d_u·d_p)
-    * per round — bounded by int64 here and at the shard-constant
-    * sf10 fixtures; a production run at genuinely unbounded degrees
-    * would reintroduce normalization in decimal. Output: top-10
-    * parts by round-3 authority.
+  /** Three unrolled HITS rounds over an edge set `(u, p)`: h⁰ = 1;
+    * a = Σ h over in-edges; h = Σ a over out-edges. EXACT INTEGER
+    * arithmetic carried in DECIMAL(38,0): unnormalized scores grow
+    * ~(d_u·d_p) per round, and on a genuinely skewed 100 TB graph
+    * round 3 exceeds int64 — a BIGINT formulation would silently
+    * wrap there and return a wrong top-10 with no error. Decimal
+    * keeps every intermediate exact to 38 digits, and past THAT the
+    * engine raises (ANSI decimal-overflow) instead of wrapping —
+    * correctness degrades to an error, never to a silently wrong
+    * ranking. GraphOps2Spec drives this on a synthetic star graph
+    * whose round-3 score provably exceeds Long.MaxValue.
+    * Max-normalization stays out: it is a positive per-round scalar,
+    * so every round's RANKING is identical to textbook HITS and no
+    * cross-engine division rounding enters the plan.
+    */
+  def hits(e: DataFrame, rounds: Int): DataFrame = {
+    var h: DataFrame = e.select(col("u")).distinct()
+      .withColumn("h", lit(1L).cast("decimal(38,0)"))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      a = e.join(h, "u").groupBy("p")
+        .agg(sum("h").cast("decimal(38,0)").as("a"))
+      h = e.join(a, "p").groupBy("u")
+        .agg(sum("a").cast("decimal(38,0)").as("h"))
+    }
+    a.select(col("p").as("part"), col("a").as("authority"))
+      .orderBy(col("authority").desc, col("part")).limit(10)
+  }
+
+  /** Top-10 parts by round-3 HITS authority on the bipartite
+    * customer→part purchase graph (see [[hits]] for the arithmetic
+    * contract).
     */
   val q220 = Q(
     "q220_hits_scores",
@@ -37,27 +59,19 @@ object GraphOps2 {
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(true)
-      var h: DataFrame = e.select(col("u")).distinct()
-        .withColumn("h", lit(1L))
-      var a: DataFrame = null
-      for (_ <- 1 to 3) {
-        a = e.join(h, "u").groupBy("p").agg(sum("h").cast("long").as("a"))
-        h = e.join(a, "p").groupBy("u").agg(sum("a").cast("long").as("h"))
-      }
-      a.select(col("p").as("part"), col("a").as("authority"))
-        .orderBy(col("authority").desc, col("part")).limit(10)
+      hits(e, 3)
     },
     Some {
       val rounds = (1 to 3).map { r =>
-        s"""a$r AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) AS a
+        s"""a$r AS MATERIALIZED (SELECT p, CAST(sum(h) AS DECIMAL(38,0)) AS a
            |        FROM e JOIN h${r - 1} USING (u) GROUP BY 1),
-           |h$r AS MATERIALIZED (SELECT u, CAST(sum(a) AS BIGINT) AS h
+           |h$r AS MATERIALIZED (SELECT u, CAST(sum(a) AS DECIMAL(38,0)) AS h
            |        FROM e JOIN a$r USING (p) GROUP BY 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (
          |  SELECT DISTINCT o_custkey AS u, l_partkey AS p
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |h0 AS MATERIALIZED (SELECT DISTINCT u, CAST(1 AS BIGINT) AS h FROM e),
+         |h0 AS MATERIALIZED (SELECT DISTINCT u, CAST(1 AS DECIMAL(38,0)) AS h FROM e),
          |$rounds
          |SELECT p AS part, a AS authority
          |FROM a3

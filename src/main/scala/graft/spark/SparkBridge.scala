@@ -20,4 +20,20 @@ object GraftSqlBridge {
     ext.registerFunctions(
       spark.sessionState.functionRegistry.asInstanceOf[
         org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+
+  /** Free the storage behind an eagerly `localCheckpoint(true)`'d
+    * Dataset. `Dataset.unpersist` only consults the CacheManager, so
+    * a checkpoint's MEMORY_AND_DISK blocks otherwise live until the
+    * ContextCleaner eventually collects the RDD — in an iterative
+    * operator that re-checkpoints a corpus-sized frame every round,
+    * that leaves r live copies in executor storage. The checkpointed
+    * plan is a `LogicalRDD` leaf over the persisted RDD; unpersist
+    * that RDD directly. Safe only once nothing will read `df` again
+    * (a localCheckpoint cannot recompute its blocks).
+    */
+  def unpersistCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: execution.LogicalRDD => r.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

@@ -84,4 +84,34 @@ class Analytics3Spec extends SparkSpec {
     }
     assert(out.toSeq == merges.toSeq, s"spark ${out.toSeq} vs driver $merges")
   }
+
+  test("q216 rotates its corpus checkpoints: no corpus-sized copy stays pinned") {
+    val sc = spark.sparkContext
+    // reference size: ONE checkpointed corpus copy at this SF
+    val probe = Tables.docs(spark, sf("sf0.01"))
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+      .select(concat(lit(" "),
+        regexp_replace(col("tok"), "(.)", "$1 ")).as("sy"))
+      .localCheckpoint(true)
+    val preIds = sc.getPersistentRDDs.keySet.toSet
+    val corpusBytes = sc.getRDDStorageInfo
+      .filter(i => preIds.contains(i.id))
+      .map(i => i.memSize + i.diskSize).max
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(probe, blocking = true)
+
+    val before = sc.getPersistentRDDs.keySet.toSet
+    Q.byName("q216_bpe_train").fn(spark, sf("sf0.01")).collect()
+    val added = sc.getRDDStorageInfo
+      .filter(i => !before.contains(i.id) && i.isCached)
+    // what survives the run is the five pinned 1-row merge rules;
+    // every corpus-sized round checkpoint must have been rotated out
+    // (pre-fix, four spaced-corpus copies — each >= corpusBytes —
+    // stayed pinned until the ContextCleaner got to them)
+    assert(added.length <= 5, added.mkString("\n"))
+    val total = added.map(i => i.memSize + i.diskSize).sum
+    assert(corpusBytes > 0, "probe checkpoint did not materialize")
+    assert(total < corpusBytes / 2,
+      s"corpus-sized checkpoints left pinned: kept=$total bytes, " +
+        s"one corpus copy=$corpusBytes bytes\n${added.mkString("\n")}")
+  }
 }

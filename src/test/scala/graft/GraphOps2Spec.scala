@@ -14,16 +14,32 @@ class GraphOps2Spec extends SparkSpec {
 
   test("q220 authorities equal an exact integer HITS recompute") {
     val out = Q.byName("q220_hits_scores").fn(spark, sf()).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
     val e = purchases
-    var h = e.map(_._1).distinct.map(_ -> 1L).toMap
-    var a = Map.empty[Long, Long]
+    var h = e.map(_._1).distinct.map(_ -> BigInt(1)).toMap
+    var a = Map.empty[Long, BigInt]
     for (_ <- 1 to 3) {
       a = e.groupBy(_._2).map { case (p, es) => p -> es.map(x => h(x._1)).sum }
       h = e.groupBy(_._1).map { case (u, es) => u -> es.map(x => a(x._2)).sum }
     }
     val want = a.toSeq.sortBy { case (p, s) => (-s, p) }.take(10)
     assert(out.toSeq == want, s"spark ${out.toSeq} vs driver $want")
+  }
+
+  test("q220's decimal HITS is exact on a graph where int64 wraps by round 3") {
+    // star graph: n users all pointing at one part. a₁ = n, h₁ = n,
+    // a₂ = n², h₂ = n², a₃ = n³ — with n = 2.1M, n³ ≈ 9.26e18 >
+    // Long.MaxValue (9.223e18): a BIGINT pipeline would wrap to a
+    // negative authority here and report a silently wrong ranking.
+    val n = 2100000L
+    val want = BigInt(n).pow(3)
+    assert(want > BigInt(Long.MaxValue),
+      "fixture must actually exceed int64 by round 3")
+    val e = spark.range(n).select(col("id").as("u"), lit(1L).as("p"))
+    val out = queries.GraphOps2.hits(e, 3).collect()
+    assert(out.length == 1)
+    assert(BigInt(out(0).getDecimal(1).toBigInteger) == want,
+      s"got ${out(0).getDecimal(1)}, want $want")
   }
 
   test("q221 survivors equal an exact k-core peel and all have deg >= 3") {

@@ -295,11 +295,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q216: each BPE round applies its merge as a broadcast, never a shuffle join") {
-    val df = q("q216_bpe_train")
-    df.collect()
-    val s = planString(df)
+    // the returned frame is five pinned 1-row rules (checkpoint
+    // rotation — CorpusOps3.scala), so the plan to pin is the
+    // in-round building block: the 1-row merge rule must reach the
+    // corpus-wide replace pass as a broadcast, never a shuffle
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.docs(spark, sf())
+      .select(concat(lit(" "),
+        regexp_replace(col("text"), "(.)", "$1 ")).as("sy"))
+    val rule = corpus.limit(1).select(lit("a b").as("mp"))
+    val round = corpus.crossJoin(broadcast(rule))
+      .select(expr("replace(sy, concat(' ', mp, ' '), ' ')").as("sy"))
+    val s = round.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"the merge rule must broadcast:\n${s.take(2500)}")
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
       s"the 1-row merge rule must broadcast into the corpus pass:\n${s.take(2500)}")
+    // and the full query's returned plan stays shuffle-join-free
+    val df = q("q216_bpe_train")
+    df.collect()
+    val full = planString(df)
+    assert(!full.contains("SortMergeJoin") && !full.contains("ShuffledHashJoin"),
+      full.take(2500))
   }
 
   test("q199: exact top-20 inside the sketch audit plans as TakeOrdered, panel is bounded") {
@@ -316,5 +333,45 @@ class PlanSpec extends SparkSpec {
       .orderBy(col("cnt").desc, col("token")).limit(20)
     assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       top.queryExecution.executedPlan.toString.take(1500))
+  }
+
+  test("C9: ANALYZE column stats flip a shuffle join to broadcast (CBO in the plan)") {
+    // the (D)-surface promise of Warehouse.analyze is not "stats are
+    // recorded" but "the optimizer USES them": without stats the
+    // filtered dimension's size estimate is its on-disk bytes (281 KB
+    // here) and broadcast is blocked; after ANALYZE ... FOR ALL
+    // COLUMNS, CBO's filter estimation (rowCount / NDV) shrinks the
+    // estimate below the threshold and the same query plans a
+    // BroadcastHashJoin. Asserted on the pre-AQE sparkPlan so the
+    // decision measured is the stats-driven one, not AQE's runtime
+    // rescue.
+    import org.apache.spark.sql.functions._
+    val wh = new catalog.Warehouse(spark)
+    wh.drop("cbo_orders")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/cbo_orders")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    wh.createManaged("cbo_orders", Tables.t(spark, sf("sf0.01"), "orders"))
+    val conf = spark.conf
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      def plan: String = {
+        val dim = spark.table("cbo_orders").filter(col("o_custkey") === 7)
+        Tables.t(spark, sf("sf0.01"), "lineitem")
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .queryExecution.sparkPlan.toString
+      }
+      val before = plan
+      assert(before.contains("SortMergeJoin") || before.contains("ShuffledHashJoin"),
+        s"without stats the byte-size estimate must block broadcast:\n${before.take(2000)}")
+      wh.analyze("cbo_orders")
+      val after = plan
+      assert(after.contains("BroadcastHashJoin"),
+        s"ANALYZE row/NDV stats must shrink the filtered dim under the threshold:\n${after.take(2000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 }

@@ -8,6 +8,16 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("the frozen headline-68 envelope set stays resolvable in the registry") {
+    // BASELINE.md's 2x envelope is held against Bench.totalHeadline;
+    // a registry rename that silently shrinks the denominator would
+    // make the envelope metric lie — fail loudly instead
+    assert(Bench.headline.size == 68)
+    val names = Q.registry.map(_.name).toSet
+    val missing = Bench.headline -- names
+    assert(missing.isEmpty, s"headline queries missing from registry: $missing")
+  }
+
   test("README query counts match the registry (doc drift fails here)") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),

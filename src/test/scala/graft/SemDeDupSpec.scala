@@ -57,7 +57,10 @@ class SemDeDupSpec extends SparkSpec {
     info(f"recall vs brute force: q180=$r180%.3f q181=$r181%.3f (truth=${truth.size})")
     assert(r181 >= r180 - 0.10,
       f"second quantizer level lost too much recall: q181=$r181%.3f vs q180=$r180%.3f")
-    assert(r181 >= 0.15, f"q181 recall collapsed: $r181%.3f")
+    // measured-margin bound (VERDICT r5 #4): observed 0.239 at
+    // sf0.01 — pin to within 5 points of that, not a lax absolute
+    // floor, so a regression that halves recall fails the build
+    assert(r181 >= 0.19, f"q181 recall regressed below measured margin: $r181%.3f (observed 0.239)")
   }
 
   test("scaled-quantizer q180 recall is within 10 points of full-cell q139") {
@@ -71,6 +74,7 @@ class SemDeDupSpec extends SparkSpec {
     info(f"recall vs brute force: q139=$r139%.3f q180=$r180%.3f (truth=${truth.size})")
     assert(r180 >= r139 - 0.10,
       f"scaled quantizer lost too much recall: q180=$r180%.3f vs q139=$r139%.3f")
-    assert(r180 >= 0.15, f"q180 recall collapsed: $r180%.3f")
+    // measured-margin bound: observed 0.264 at sf0.01
+    assert(r180 >= 0.21, f"q180 recall regressed below measured margin: $r180%.3f (observed 0.264)")
   }
 }

@@ -121,4 +121,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("doc_dedup").count() == want,
       "one survivor per distinct content, across micro-batch boundaries")
   }
+
+  test("streaming fixed-cost floor stays bounded (regression guard)") {
+    // ProfileStreams measured the registry stream queries' steady
+    // state (plan + run + state commit + stop). This encodes those
+    // floors as bounds so a change that doubles micro-batch overhead
+    // fails a test instead of hiding in bench noise. Bounds are ~3x
+    // the measured local[4]/sf0.001 steady-state minima (info lines
+    // below re-measure every run) — slack for co-tenant noise, tight
+    // enough that a 2x fixed-overhead regression trips.
+    // measured minima (2026-08, idle machine): q56 0.72, q57 0.17,
+    // q80 0.66, q91 0.66, q124 1.74 s
+    val bounds = Map(
+      "q56_stream_tumbling_counts" -> 2.5,
+      "q57_stateful_sessionize" -> 1.0,
+      "q80_stream_sliding_counts" -> 2.5,
+      "q91_stream_enriched_counts" -> 2.5,
+      "q124_stream_stream_join" -> 5.0)
+    def once(n: String): Double = {
+      val t0 = System.nanoTime()
+      Q.byName(n).fn(spark, sf()).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    bounds.keys.foreach(once) // warmup: codegen + state-store + sink init
+    val floors = bounds.keys.toSeq.sorted.map(n => n -> (1 to 3).map(_ => once(n)).min)
+    floors.foreach { case (n, t) => info(f"$n steady-state $t%.2f s") }
+    val over = floors.filter { case (n, t) => t > bounds(n) }
+    assert(over.isEmpty,
+      over.map { case (n, t) => f"$n floor $t%.2f s > bound ${bounds(n)}%.1f s" }
+        .mkString("; "))
+  }
 }
