@@ -74,5 +74,8 @@ object Q {
       queries.CorpusOps3.all ++
       queries.PipelineOps3.all ++
       queries.StreamingOps2.all ++
-      queries.GraphOps2.all
+      queries.GraphOps2.all ++
+      queries.Analytics4.all ++
+      queries.CurationOps7.all ++
+      queries.StorageOps.all
 }

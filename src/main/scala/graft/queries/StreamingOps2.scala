@@ -42,5 +42,36 @@ object StreamingOps2 {
       |FROM (SELECT json_extract_string(props, '$.k') AS k FROM events)
       |GROUP BY 1 ORDER BY cnt DESC, k LIMIT 10""".stripMargin))
 
-  val all: Vector[Q] = Vector(q218)
+  /** Streaming approx-distinct parity: an HLL sketch aggregated
+    * through the streaming engine (complete mode, register-max merge
+    * across micro-batches) must estimate EXACTLY what the same
+    * sketch over the batch frame estimates — HLL registers are
+    * per-bucket maxima, so arrival order is provably irrelevant, and
+    * any difference is an engine regression, not sketch noise. The
+    * output panel carries the exact distinct count, both estimates,
+    * their equality, and a 5%-relative-error audit of the sketch
+    * itself; the oracle pins the exact count and the audit flags.
+    */
+  val q230 = Q(
+    "q230_stream_distinct_parity",
+    (s, dir) => {
+      val streamRow = EventStreams.hllOverStream(s, dir, "q230_sink").head()
+      val streamEst = streamRow.getAs[Long]("est")
+      val batch = Tables.events(s, dir)
+        .select(concat(col("user_id").cast("string"), lit(":"),
+          col("event_type")).as("k"))
+      val batchEst = batch
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("est"))
+        .head().getAs[Long]("est")
+      val exact = batch.distinct().count()
+      import s.implicits._
+      Seq((exact, streamEst == batchEst,
+        math.abs(streamEst - exact).toDouble / exact <= 0.05))
+        .toDF("n_exact", "stream_eq_batch", "within_5pct")
+    },
+    Some("""SELECT count(DISTINCT concat(CAST(user_id AS VARCHAR), ':', event_type))
+      |  AS n_exact, TRUE AS stream_eq_batch, TRUE AS within_5pct
+      |FROM events""".stripMargin))
+
+  val all: Vector[Q] = Vector(q218, q230)
 }

@@ -416,6 +416,22 @@ object EventStreams {
     runToCompletion(agg, "complete", queryName)
   }
 
+  /** Global HLL sketch of (user, event_type) pairs over the stream
+    * (complete mode). HLL registers are per-bucket maxima, so
+    * micro-batch arrival order cannot change the merged sketch —
+    * the streamed estimate must equal the batch estimate exactly
+    * (q230 asserts it).
+    */
+  def hllOverStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .select(concat(col("user_id").cast("string"), lit(":"),
+        col("event_type")).as("k"))
+      .groupBy()
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("est"),
+        count(lit(1)).as("n"))
+    runToCompletion(agg, "complete", queryName)
+  }
+
   private def drain(
       spark: SparkSession,
       writer: org.apache.spark.sql.streaming.DataStreamWriter[

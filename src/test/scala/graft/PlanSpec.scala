@@ -335,6 +335,29 @@ class PlanSpec extends SparkSpec {
       top.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("q229: bucketed tables join with ZERO exchanges (SMB co-location)") {
+    // run the operator once so both bucketed tables exist, then pin
+    // the join plan with broadcast disabled: bucket specs must match
+    // and neither side may shuffle — the entire point of paying the
+    // bucketed write once
+    q("q229_bucketed_colocated_join").collect()
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val s = j.queryExecution.executedPlan.toString
+      assert(s.contains("SortMergeJoin"), s.take(2000))
+      assert(!s.contains("Exchange"),
+        s"bucketed sides must not shuffle:\n${s.take(2000)}")
+      assert(s.contains("SelectedBucketsCount") || s.contains("Bucketed: true"),
+        s"scan must be bucket-aware:\n${s.take(2000)}")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("C9: ANALYZE column stats flip a shuffle join to broadcast (CBO in the plan)") {
     // the (D)-surface promise of Warehouse.analyze is not "stats are
     // recorded" but "the optimizer USES them": without stats the

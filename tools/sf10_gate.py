@@ -22,6 +22,24 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Gate subset, VERSIONED per round (VERDICT r5 #7: rotate ~15 slots
+# toward each round's additions so the 100x oracle keeps probing new
+# risk classes instead of re-proving settled ones).
+#
+# r5 -> r6 diff:
+#   rotated OUT (15, each hash-green at sf10 in r5 and carrying no
+#   novel arithmetic class): q126_bm25_search, q183_temperature_mix,
+#   q184_quality_classifier, q185_corpus_diff, q187_lsh_band_sensitivity,
+#   q188_cluster_purity, q191_classifier_auc, q195_embedding_dim_health,
+#   q202_curriculum_phases, q205_label_outliers, q210_chi2_keywords,
+#   q212_mad_length_gate, q213_equidepth_stats, q214_concurrency_sweep,
+#   q215_association_rules
+#   rotated IN (9, the round-6 additions): q222-q230
+#   kept: the permanent risk core (fold-order money sums, global
+#   rank/cumsum, percentiles, iterative convergence, SemDeDup pair,
+#   dedup family, sketches, weighted order stats, pipelines) plus the
+#   r5 entries whose risk class stays hot (iterative BPE/HITS/k-core,
+#   stream==batch parity, sampling, coreset).
 DEFAULT_SUBSET = [
     # money aggregates (fold-order hazards at 60M rows)
     "q01_pricing_summary", "q04_revenue_by_nation", "q87_revenue_share",
@@ -32,16 +50,31 @@ DEFAULT_SUBSET = [
     "q19_percentiles_quantity", "q125_join_skew_report", "q173_time_to_convert",
     # iterative graph convergence
     "q100_dedup_cc_clusters", "q142_pagerank_purchases",
+    "q201_label_propagation", "q220_hits_scores", "q221_kcore_peel",
     # sampled-quantizer SemDeDup (data-dependent seed sets)
     "q180_semdedup_scaled", "q181_semdedup_2level",
     # dedup family
     "q39_dedup_exact", "q41_dedup_minhash_lsh", "q42_dedup_simhash",
-    # sketch aggregates (self-auditing bounds)
-    "q60_approx_aggregates",
-    # weighted / distributional order statistics
+    "q192_span_dup_mass", "q211_cross_source_dups",
+    # sketch aggregates / stream==batch parity
+    "q60_approx_aggregates", "q199_heavy_hitters_cms",
+    "q218_stream_heavy_hitters", "q193_stream_neardup_filter",
+    "q230_stream_distinct_parity",
+    # weighted / distributional order statistics + resampling
     "q153_weighted_median", "q167_spend_gini", "q131_ks_drift",
+    "q206_bootstrap_ci", "q207_winsorized_stats",
+    # learning / projection on sufficient statistics
+    "q182_kmeans_lloyd", "q186_pq_adc_recall", "q194_jl_projection_recall",
+    "q208_kcenter_coreset", "q219_negative_mining",
+    # iterative trainers
+    "q216_bpe_train",
     # end-to-end pipeline composition
-    "q107_corpus_prep_pack",
+    "q107_corpus_prep_pack", "q217_release_manifest",
+    # round-6 additions
+    "q222_ab_lift_ztest", "q223_benford_audit", "q224_k_anonymity",
+    "q225_time_series_folds", "q226_mmr_select",
+    "q227_source_embedding_drift", "q228_bloom_decontaminate",
+    "q229_bucketed_colocated_join",
 ]
 
 
