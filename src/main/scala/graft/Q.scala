@@ -77,5 +77,6 @@ object Q {
       queries.GraphOps2.all ++
       queries.Analytics4.all ++
       queries.CurationOps7.all ++
-      queries.StorageOps.all
+      queries.StorageOps.all ++
+      queries.CorpusOps4.all
 }

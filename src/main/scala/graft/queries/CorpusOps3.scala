@@ -24,55 +24,73 @@ object CorpusOps3 {
     * (round, pair, frequency at merge time) — the artifact a
     * tokenizer ships.
     */
+  /** " d a t a " — sentinel spaces so a pair match is always
+    * space-delimited on both sides.
+    */
+  private[queries] def spaced(c: Column): Column =
+    concat(lit(" "), regexp_replace(c, "(.)", "$1 "))
+
+  /** The Sennrich training loop shared by q216 (emit the merge
+    * table) and q233 (encode the corpus with it): `rounds` rounds of
+    * one codegen'd [[graft.functions.SymbolPairs]] pair count + a
+    * broadcast 1-row top-pair merge applied corpus-wide. `corpus0`
+    * must carry a `sy` symbol column; other columns ride along
+    * untouched (q233 keeps `lang`). When `applyLast` the final
+    * round's merge is applied too (an encoder needs the fully merged
+    * corpus; the trainer's last rule needs no application).
+    *
+    * Checkpoint lifecycle: each round's 1-row top frame is pinned
+    * eagerly (so `merges` never re-reads a corpus copy), and the
+    * PREVIOUS round's corpus checkpoint is freed as soon as the
+    * round that read it has materialized — exactly one corpus-sized
+    * copy lives in executor storage at any time
+    * (ConnectedComponents.scala's rotate pattern; at corpus scale the
+    * production swap is a reliable `checkpoint` to durable storage,
+    * same lifecycle). Returns (merge table, final corpus).
+    */
+  private[queries] def bpeRounds(
+      s: SparkSession, corpus0: DataFrame, rounds: Int,
+      applyLast: Boolean): (DataFrame, DataFrame) = {
+    graft.functions.SymbolPairs.register(s)
+    def pairCounts(c: DataFrame): DataFrame = c
+      .select(explode(expr("symbol_pairs(sy)")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    var corpus = corpus0
+    var merges: DataFrame = null
+    var prevCk: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = pairCounts(corpus)
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(lit(r).as("round"), col("pair"), col("n"))
+        .localCheckpoint(true) // 1 row — pins the round's rule
+      merges = if (merges == null) top else merges.unionAll(top)
+      if (r < rounds || applyLast) {
+        val next = corpus
+          .crossJoin(broadcast(top.select(col("pair").as("mp"))))
+          .withColumn("sy", expr(
+            "replace(sy, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+          .drop("mp")
+          .localCheckpoint(true) // one pass per round, not r passes
+        if (prevCk != null)
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
+        prevCk = next
+        corpus = next
+      } else if (prevCk != null)
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
+    }
+    (merges, corpus)
+  }
+
   val q216 = Q(
     "q216_bpe_train",
     (s, dir) => {
-      // " d a t a " — sentinel spaces so a pair match is always
-      // space-delimited on both sides
-      def spaced(c: Column): Column =
-        concat(lit(" "), regexp_replace(c, "(.)", "$1 "))
-      var corpus: DataFrame = Tables.docs(s, dir)
+      val corpus0 = Tables.docs(s, dir)
         .select(explode(Portable.tokens(col("text"))).as("tok"))
         .select(spaced(col("tok")).as("sy"))
-      // one codegen'd pass per row ([[graft.functions.SymbolPairs]]);
-      // the HOF formulation re-split the symbol string per lambda
-      // element and dominated the sf10 pair-count stage. Single-symbol
-      // tokens yield an empty array (explode emits nothing).
-      graft.functions.SymbolPairs.register(s)
-      def pairCounts(c: DataFrame): DataFrame = c
-        .select(explode(expr("symbol_pairs(sy)")).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-      var merges: DataFrame = null
-      // Checkpoint lifecycle: each round's 1-row top frame is pinned
-      // eagerly (so `merges` never re-reads a corpus copy), and the
-      // PREVIOUS round's corpus checkpoint is freed as soon as the
-      // round that read it has materialized — exactly one
-      // corpus-sized copy lives in executor storage at any time
-      // (ConnectedComponents.scala's rotate pattern; at corpus scale
-      // the production swap is a reliable `checkpoint` to durable
-      // storage, same lifecycle). Round 5 needs no corpus update at
-      // all — its merge rule is the last output.
-      var prevCk: DataFrame = null
-      for (r <- 1 to 5) {
-        val top = pairCounts(corpus)
-          .orderBy(col("n").desc, col("pair")).limit(1)
-          .select(lit(r).as("round"), col("pair"), col("n"))
-          .localCheckpoint(true) // 1 row — pins the round's rule
-        merges = if (merges == null) top else merges.unionAll(top)
-        if (r < 5) {
-          val next = corpus
-            .crossJoin(broadcast(top.select(col("pair").as("mp"))))
-            .select(expr(
-              "replace(sy, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
-              .as("sy"))
-            .localCheckpoint(true) // one pass per round, not r passes
-          if (prevCk != null)
-            org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
-          prevCk = next
-          corpus = next
-        } else if (prevCk != null)
-          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
-      }
+      // single-symbol tokens yield an empty pair array (explode
+      // emits nothing); round 5 needs no corpus update — its merge
+      // rule is the last output
+      val (merges, _) = bpeRounds(s, corpus0, 5, applyLast = false)
       merges.orderBy("round")
     },
     Some {

@@ -75,6 +75,8 @@ DEFAULT_SUBSET = [
     "q225_time_series_folds", "q226_mmr_select",
     "q227_source_embedding_drift", "q228_bloom_decontaminate",
     "q229_bucketed_colocated_join",
+    "q231_apriori_triples", "q232_rrf_fusion", "q233_bpe_apply",
+    "q234_containment_dedup",
 ]
 
 
