@@ -80,7 +80,11 @@ object CorpusOps4 {
     * any float aggregation. Query side broadcasts (q48 shape);
     * truncating each modality to a top-k LIST before fusing is both
     * the textbook formulation and what keeps the rank windows
-    * bounded. Output: top-5 fused per query.
+    * bounded — and Catalyst's InferWindowGroupLimit turns each
+    * rn <= 100 filter into a per-partition partial top-k BEFORE the
+    * window sort (PlanSpec pins the WindowGroupLimit node), so no
+    * corpus-sized partition ever funnels through one sort. Output:
+    * top-5 fused per query.
     */
   val q232 = Q(
     "q232_rrf_fusion",

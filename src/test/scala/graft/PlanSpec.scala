@@ -335,6 +335,19 @@ class PlanSpec extends SparkSpec {
       top.queryExecution.executedPlan.toString.take(1500))
   }
 
+  test("q232: top-100 rank windows run under WindowGroupLimit (partial top-k before the sort)") {
+    // the per-query rank windows would be the scale hazard of RRF —
+    // InferWindowGroupLimit turns the rn <= 100 filter into a
+    // per-partition partial top-k BEFORE the window sort, so each
+    // modality ships at most 100 rows per query per input partition
+    // instead of the whole corpus through one sort
+    val df = q("q232_rrf_fusion")
+    df.collect()
+    val s = planString(df)
+    assert(s.contains("WindowGroupLimit"),
+      s"rank filters must push a group limit under the window:\n${s.take(3000)}")
+  }
+
   test("q229: bucketed tables join with ZERO exchanges (SMB co-location)") {
     // run the operator once so both bucketed tables exist, then pin
     // the join plan with broadcast disabled: bucket specs must match
