@@ -126,10 +126,14 @@ object Analytics4 {
           col("chi2_part").cast("double").as("chi2_part"), col("chi2"))
         .orderBy("digit")
     },
-    Some("""WITH exp(digit, expected) AS (VALUES
+    Some("""WITH expv(digit, expected0) AS (VALUES
       |  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
       |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
       |  (9, 0.045757)),
+      |-- force DOUBLE: the bare VALUES literals type as DECIMAL(7,6),
+      |-- which would make (n - expected*total) exact-decimal here but
+      |-- double in Spark (ADVICE r6)
+      |exp AS (SELECT digit, CAST(expected0 AS DOUBLE) AS expected FROM expv),
       |obs AS (
       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
       |    1, 1) AS INTEGER) AS digit, count(*) AS n

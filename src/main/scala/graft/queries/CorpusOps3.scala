@@ -46,11 +46,16 @@ object CorpusOps3 {
     * copy lives in executor storage at any time
     * (ConnectedComponents.scala's rotate pattern; at corpus scale the
     * production swap is a reliable `checkpoint` to durable storage,
-    * same lifecycle). Returns (merge table, final corpus).
+    * same lifecycle). Returns (merge table, final corpus) — the
+    * corpus is `Some` ONLY when `applyLast`: in trainer mode the
+    * final corpus checkpoint is freed as part of the rotation, and a
+    * localCheckpoint cannot recompute its blocks, so returning it
+    * would hand the caller a frame that fails at first use (ADVICE
+    * r6). `None` makes that contract explicit at compile time.
     */
   private[queries] def bpeRounds(
       s: SparkSession, corpus0: DataFrame, rounds: Int,
-      applyLast: Boolean): (DataFrame, DataFrame) = {
+      applyLast: Boolean): (DataFrame, Option[DataFrame]) = {
     graft.functions.SymbolPairs.register(s)
     def pairCounts(c: DataFrame): DataFrame = c
       .select(explode(expr("symbol_pairs(sy)")).as("pair"))
@@ -78,7 +83,7 @@ object CorpusOps3 {
       } else if (prevCk != null)
         org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCk)
     }
-    (merges, corpus)
+    (merges, if (applyLast) Some(corpus) else None)
   }
 
   val q216 = Q(

@@ -176,8 +176,8 @@ object CorpusOps4 {
         .select(col("lang"), explode(P.tokens(col("text"))).as("tok"))
         .select(col("lang"), length(col("tok")).as("chars"),
           CorpusOps3.spaced(col("tok")).as("sy"))
-      val (_, encoded) = CorpusOps3.bpeRounds(s, corpus0, 5, applyLast = true)
-      encoded
+      val (_, encodedOpt) = CorpusOps3.bpeRounds(s, corpus0, 5, applyLast = true)
+      encodedOpt.get
         .select(col("lang"), col("chars"),
           size(P.tokens(col("sy"))).as("symbols"))
         .groupBy("lang")

@@ -68,7 +68,12 @@ object CurationOps7 {
       out.orderBy("round")
     },
     Some {
-      val lam = "0.7"
+      // DOUBLE-typed λ: a bare 0.7 literal types as DECIMAL in DuckDB,
+      // so (1 - 0.7) would be the exact decimal 0.3 where Spark
+      // computes the double 1-0.7 = 0.30000000000000004 — a potential
+      // divergence exactly at a 6-dp rounding tie. Forcing the cast
+      // makes every engine-side product double×double on both sides.
+      val lam = "CAST(0.7 AS DOUBLE)"
       // selected-so-far CTE chain, unrolled (the q216 pattern)
       val rounds = (2 to 5).map { r =>
         s"""p$r AS (
@@ -209,9 +214,13 @@ object CurationOps7 {
           .as("g"))
         .select(col("doc_id"), P.md5Long(col("g")).as("h"))
         .distinct()
-        .withColumn("b1", pmod(col("h"), lit(65536L)))
-        .withColumn("b2", pmod(floor(col("h") / 65536L), lit(65536L)))
-        .withColumn("b3", pmod(floor(col("h") / (65536L * 65536L)), lit(65536L)))
+        // true integer bit extraction (h is a non-negative 60-bit
+        // hash): shiftright+mask, never `/` — both engines' `/`
+        // promote to IEEE double, whose 53-bit mantissa would bend
+        // b2/b3 near rounding boundaries (ADVICE r6)
+        .withColumn("b1", col("h").bitwiseAND(lit(65535L)))
+        .withColumn("b2", shiftright(col("h"), 16).bitwiseAND(lit(65535L)))
+        .withColumn("b3", shiftright(col("h"), 32).bitwiseAND(lit(65535L)))
       val isEval = pmod(col("doc_id"), lit(10)) === 0
       val evalSh = sh.filter(isEval)
       val bits = evalSh.select(explode(array(col("b1"), col("b2"), col("b3")))
@@ -245,9 +254,9 @@ object CurationOps7 {
       |    FROM (SELECT doc_id, ${P.tokensSql("text")} AS toks FROM documents)
       |    WHERE len(toks) >= 5)),
       |shb AS (
-      |  SELECT doc_id, h, h % 65536 AS b1,
-      |    CAST(floor(h / 65536) AS BIGINT) % 65536 AS b2,
-      |    CAST(floor(h / (65536 * CAST(65536 AS BIGINT))) AS BIGINT) % 65536 AS b3
+      |  SELECT doc_id, h, h & 65535 AS b1,
+      |    (h >> 16) & 65535 AS b2,
+      |    (h >> 32) & 65535 AS b3
       |  FROM sh),
       |bits AS (
       |  SELECT DISTINCT unnest([b1, b2, b3]) AS bit

@@ -46,14 +46,23 @@ object GraphOps {
         .repartition(col("src"))
         .localCheckpoint(true)
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true) // pin: reused by every iteration
+        .localCheckpoint(true) // pin: node-sized, seeds pr0 and n
+      // pre-join the out-degree onto the edge table ONCE (VERDICT r6
+      // #3): each iteration is then ONE join (only the small rank
+      // table moves) + ONE aggregate over this pinned contrib-ready
+      // frame, instead of re-joining the full edge set against deg
+      // every round. The plain sym checkpoint is superseded — free it
+      // as soon as symdeg has materialized.
+      val symdeg = sym.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(sym)
       val nFrame = broadcast(deg.agg(count(lit(1)).as("n")))
       var pr = deg.crossJoin(nFrame)
         .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        pr = sym
-          .join(pr, sym("src") === pr("node"))
-          .join(deg, "src")
+        pr = symdeg
+          .join(pr, symdeg("src") === pr("node"))
           .groupBy(col("dst").as("node2"))
           .agg(sum(col("pr") / col("deg")).as("inflow"))
           .crossJoin(nFrame)

@@ -23,24 +23,34 @@ object GraphOps2 {
     * ~(d_u·d_p) per round, and on a genuinely skewed 100 TB graph
     * round 3 exceeds int64 — a BIGINT formulation would silently
     * wrap there and return a wrong top-10 with no error. Decimal
-    * keeps every intermediate exact to 38 digits, and past THAT the
-    * engine raises (ANSI decimal-overflow) instead of wrapping —
-    * correctness degrades to an error, never to a silently wrong
-    * ranking. GraphOps2Spec drives this on a synthetic star graph
-    * whose round-3 score provably exceeds Long.MaxValue.
+    * keeps every intermediate exact to 38 digits. Past THAT: under
+    * ANSI (the Spark 4 default) the decimal sum raises natively, but
+    * an ANSI-off session returns NULL — which would sort LAST under
+    * `desc` and silently drop the heaviest node from the top-10 — so
+    * every round's sum ALSO carries an explicit raise-on-null guard.
+    * Overflow degrades to a loud error under either setting, never
+    * to a silently wrong ranking (the DuckDB oracle errors natively
+    * on decimal overflow, so both engines fail closed). GraphOps2Spec
+    * drives a synthetic star graph whose round-3 score provably
+    * exceeds Long.MaxValue yet stays exact, and proves both overflow
+    * paths fail loud once a score passes 38 digits.
     * Max-normalization stays out: it is a positive per-round scalar,
     * so every round's RANKING is identical to textbook HITS and no
     * cross-engine division rounding enters the plan.
     */
   def hits(e: DataFrame, rounds: Int): DataFrame = {
+    // sum inputs are built non-null, so a NULL sum can only mean
+    // decimal overflow (ANSI off nulls instead of raising)
+    def guarded(c: org.apache.spark.sql.Column) =
+      coalesce(c, raise_error(lit("q220 HITS: decimal(38,0) overflow")))
     var h: DataFrame = e.select(col("u")).distinct()
       .withColumn("h", lit(1L).cast("decimal(38,0)"))
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       a = e.join(h, "u").groupBy("p")
-        .agg(sum("h").cast("decimal(38,0)").as("a"))
+        .agg(guarded(sum("h")).cast("decimal(38,0)").as("a"))
       h = e.join(a, "p").groupBy("u")
-        .agg(sum("a").cast("decimal(38,0)").as("h"))
+        .agg(guarded(sum("a")).cast("decimal(38,0)").as("h"))
     }
     a.select(col("p").as("part"), col("a").as("authority"))
       .orderBy(col("authority").desc, col("part")).limit(10)
@@ -48,7 +58,14 @@ object GraphOps2 {
 
   /** Top-10 parts by round-3 HITS authority on the bipartite
     * customer→part purchase graph (see [[hits]] for the arithmetic
-    * contract).
+    * contract). The RANKING is decided on the exact DECIMAL(38,0)
+    * scores; the EMITTED `authority` column is that exact decimal
+    * cast to STRING — exact at any magnitude, and a representation
+    * both engines (and the driver's hasher) canonicalize
+    * identically. (Round 6's decimal output column was value-correct
+    * but the registry's only DECIMAL output, and the driver's hash
+    * canonicalizes decimal differently from its value compare —
+    * VERDICT r6 #1; q237 keeps a cheap decimal-output canary.)
     */
   val q220 = Q(
     "q220_hits_scores",
@@ -60,6 +77,7 @@ object GraphOps2 {
         .distinct()
         .localCheckpoint(true)
       hits(e, 3)
+        .select(col("part"), col("authority").cast("string").as("authority"))
     },
     Some {
       val rounds = (1 to 3).map { r =>
@@ -73,9 +91,9 @@ object GraphOps2 {
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |h0 AS MATERIALIZED (SELECT DISTINCT u, CAST(1 AS DECIMAL(38,0)) AS h FROM e),
          |$rounds
-         |SELECT p AS part, a AS authority
+         |SELECT p AS part, CAST(a AS VARCHAR) AS authority
          |FROM a3
-         |ORDER BY authority DESC, part LIMIT 10""".stripMargin
+         |ORDER BY a DESC, p LIMIT 10""".stripMargin
     })
 
   /** Three k-core peel rounds (k = 60) on the co-purchase graph:
@@ -86,8 +104,9 @@ object GraphOps2 {
     * sf0.001 through sf10 — a support-thresholded variant (q201's
     * graph) thins with part cardinality and 3-cores vanish above
     * sf0.01. Output: top-20 survivors by final-round in-core degree.
-    * All integer arithmetic; each round is one alive-semi-join + one
-    * degree aggregation.
+    * All integer arithmetic; each round filters the edge frontier to
+    * surviving endpoints (checkpoint-rotated, so later rounds scan
+    * only surviving edges) and runs one degree aggregation.
     */
   val q221 = Q(
     "q221_kcore_peel",
@@ -97,7 +116,7 @@ object GraphOps2 {
       val pairs = items.alias("a")
         .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
-      val e2 = pairs.select(col("x").as("src"), col("y").as("dst"))
+      var e2 = pairs.select(col("x").as("src"), col("y").as("dst"))
         .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
         .localCheckpoint(true)
       // round 1: alive = every node, so both semi-joins are no-ops —
@@ -106,12 +125,25 @@ object GraphOps2 {
       var alive: DataFrame = e2
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 60).select("node").localCheckpoint(true)
+      // the edge FRONTIER SHRINKS with the peel (VERDICT r6 #2):
+      // each round filters the edge set to alive–alive edges and
+      // checkpoint-ROTATES it (the bpeRounds lifecycle — exactly one
+      // edge-sized copy pinned at a time), so round r and the final
+      // degree pass scan only SURVIVING edges instead of re-probing
+      // the full pinned e2 every round. Degrees are identical by
+      // construction: an edge with a dead endpoint never counts
+      // toward an alive node's in-core degree, and aliveₜ ⊆ aliveₜ₋₁.
       for (_ <- 2 to 3) {
-        val deg = e2
+        val shrunk = e2
           .join(alive.select(col("node").as("src")), "src")
           .join(alive.select(col("node").as("dst")), "dst")
+          .select("src", "dst")
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e2)
+        e2 = shrunk
+        alive = e2
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        alive = deg.filter(col("deg") >= 60).select("node").localCheckpoint(true)
+          .filter(col("deg") >= 60).select("node").localCheckpoint(true)
       }
       val finalDeg = e2
         .join(alive.select(col("node").as("src")), "src")

@@ -13,8 +13,10 @@ class GraphOps2Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
   test("q220 authorities equal an exact integer HITS recompute") {
+    // q220 emits authority as the STRING of the exact decimal (the
+    // driver-hashable representation, VERDICT r6 #1) — parse it back
     val out = Q.byName("q220_hits_scores").fn(spark, sf()).collect()
-      .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
+      .map(r => (r.getLong(0), BigInt(r.getString(1))))
     val e = purchases
     var h = e.map(_._1).distinct.map(_ -> BigInt(1)).toMap
     var a = Map.empty[Long, BigInt]
@@ -40,6 +42,36 @@ class GraphOps2Spec extends SparkSpec {
     assert(out.length == 1)
     assert(BigInt(out(0).getDecimal(1).toBigInteger) == want,
       s"got ${out(0).getDecimal(1)}, want $want")
+  }
+
+  test("hits raises (never NULLs) once a score passes 38 digits") {
+    // same star graph, 7 rounds: a₇ = n⁷ ≈ 1.8e44 > 10³⁸. Under ANSI
+    // (the Spark 4 default) the decimal sum raises ARITHMETIC_OVERFLOW
+    // natively; under ANSI-off it returns NULL — which would sort last
+    // under desc and silently drop the heaviest node — and the
+    // raise-on-null guard inside hits() fires instead. Either way the
+    // failure must be LOUD, never a silently wrong ranking.
+    val n = 2100000L
+    assert(BigInt(n).pow(7) > BigInt(10).pow(38))
+    val e = spark.range(n).select(col("id").as("u"), lit(1L).as("p"))
+    val ex = intercept[Exception] {
+      queries.GraphOps2.hits(e, 7).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("decimal(38,0) overflow") || m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected a loud decimal-overflow failure, got: $ex")
+    // the ANSI-off path: the guard must catch the NULLed sum
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val ex2 = intercept[Exception] {
+        queries.GraphOps2.hits(e, 7).collect()
+      }
+      assert(messages(ex2).exists(_.contains("decimal(38,0) overflow")),
+        s"expected the hits raise-on-null guard to fire with ANSI off, got: $ex2")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
   }
 
   test("q221 survivors equal an exact k-core peel and all have deg >= 3") {

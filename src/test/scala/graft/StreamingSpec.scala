@@ -122,7 +122,11 @@ class StreamingSpec extends SparkSpec {
       "one survivor per distinct content, across micro-batch boundaries")
   }
 
-  test("streaming fixed-cost floor stays bounded (regression guard)") {
+  test("streaming fixed-cost floor stays bounded (perf lane: GRAFT_PERF_TESTS=1)") {
+    // absolute wall-clock bounds flake on a loaded/slower CI host even
+    // with ~3x slack (ADVICE r6) — this is a perf-lane test, opt-in
+    assume(sys.env.get("GRAFT_PERF_TESTS").contains("1"),
+      "perf lane only: set GRAFT_PERF_TESTS=1 to run wall-clock floors")
     // ProfileStreams measured the registry stream queries' steady
     // state (plan + run + state commit + stop). This encodes those
     // floors as bounds so a change that doubles micro-batch overhead
