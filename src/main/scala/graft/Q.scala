@@ -78,5 +78,7 @@ object Q {
       queries.Analytics4.all ++
       queries.CurationOps7.all ++
       queries.StorageOps.all ++
-      queries.CorpusOps4.all
+      queries.CorpusOps4.all ++
+      queries.SearchOps2.all ++
+      queries.CurationOps8.all
 }

@@ -100,14 +100,14 @@ object CorpusOps3 {
     },
     Some {
       // the same five rounds unrolled as chained CTEs; DuckDB's
-      // replace has the identical left-to-right scan
+      // replace has the identical left-to-right scan. Split each
+      // symbol string ONCE per row (an inner SELECT), not once per
+      // lambda element — measured 1.8x on the pair scan (r7 #5)
       val pairSql = (c: String) =>
         s"""SELECT pair, count(*) AS n FROM (
-           |  SELECT unnest(list_transform(
-           |    range(1, len(string_split(trim(sy), ' '))),
-           |    i -> concat(string_split(trim(sy), ' ')[i], ' ',
-           |                string_split(trim(sy), ' ')[i + 1]))) AS pair
-           |  FROM $c)
+           |  SELECT unnest(list_transform(range(1, len(parts)),
+           |    i -> concat(parts[i], ' ', parts[i + 1]))) AS pair
+           |  FROM (SELECT string_split(trim(sy), ' ') AS parts FROM $c))
            |GROUP BY 1""".stripMargin
       val rounds = (1 to 5).map { r =>
         s"""t$r AS MATERIALIZED (SELECT pair, n FROM (${pairSql(s"c${r - 1}")})

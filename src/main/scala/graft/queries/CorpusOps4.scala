@@ -191,11 +191,9 @@ object CorpusOps4 {
     Some {
       val pairSql = (c: String) =>
         s"""SELECT pair, count(*) AS n FROM (
-           |  SELECT unnest(list_transform(
-           |    range(1, len(string_split(trim(sy), ' '))),
-           |    i -> concat(string_split(trim(sy), ' ')[i], ' ',
-           |                string_split(trim(sy), ' ')[i + 1]))) AS pair
-           |  FROM $c)
+           |  SELECT unnest(list_transform(range(1, len(parts)),
+           |    i -> concat(parts[i], ' ', parts[i + 1]))) AS pair
+           |  FROM (SELECT string_split(trim(sy), ' ') AS parts FROM $c))
            |GROUP BY 1""".stripMargin
       val rounds = (1 to 5).map { r =>
         s"""t$r AS MATERIALIZED (SELECT pair FROM (${pairSql(s"c${r - 1}")})

@@ -138,6 +138,44 @@ object VectorOps {
       |GROUP BY 1, 2
       |ORDER BY label, assigned""".stripMargin))
 
+  /** The q51 random-hyperplane LSH bucket, shared with q235's
+    * index-backed retrieval. The hyperplane weights are md5-derived
+    * CONSTANTS: evaluate the same Md5Long60 hash once at
+    * plan-build time (8 planes × 64 dims = 512 hashes total) and
+    * embed them as array literals, instead of re-deriving all 512
+    * inside a per-row lambda (2000 rows × 512 md5 calls at sf0.1 —
+    * pure waste). Each plane's dot is the codegen'd VecDot with the
+    * same left-to-right fold as the oracle, so the sign of a
+    * near-zero dot stays deterministic and bucket membership
+    * identical.
+    */
+  private[queries] def hyperplaneBucket(embCol: String): org.apache.spark.sql.Column = {
+    val planes: Seq[Array[Double]] = (0 to 7).map { p =>
+      (1 to 64).map { d =>
+        (graft.functions.Md5Long60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$p:$d"))
+          % 2001 - 1000) / 1000.0
+      }.toArray
+    }
+    planes.zipWithIndex.map { case (w, p) =>
+      when(graft.functions.VecMath.dotCol(col(embCol), lit(w)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[hyperplaneBucket]] (same md5-derived planes,
+    * same left-to-right fold).
+    */
+  private[queries] def hyperplaneBucketSql(embCol: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), p ->
+       |      CASE WHEN list_sum(list_transform(
+       |        list_zip($embCol,
+       |          list_transform(range(1, 65), d ->
+       |            (${Portable.md5LongSql("concat('hp:', p, ':', d)")}
+       |              % 2001 - 1000) / 1000.0)),
+       |        x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+       |      THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
   /** ANN via random-hyperplane LSH: 8 deterministic md5-derived
     * hyperplanes → 8-bit sign bucket → exact cosine only within the
     * query's bucket. The scale path next to q48's exact baseline.
@@ -145,28 +183,9 @@ object VectorOps {
   val q51 = Q(
     "q51_ann_lsh_hyperplane",
     (s, dir) => {
-      // The hyperplane weights are md5-derived CONSTANTS: evaluate the
-      // same Md5Long60 hash once at plan-build time (8 planes × 64
-      // dims = 512 hashes total) and embed them as array literals,
-      // instead of re-deriving all 512 inside a per-row lambda
-      // (2000 rows × 512 md5 calls at sf0.1 — pure waste). Each
-      // plane's dot is the codegen'd VecDot with the same
-      // left-to-right fold as the oracle, so the sign of a near-zero
-      // dot stays deterministic and bucket membership identical.
-      val planes: Seq[Array[Double]] = (0 to 7).map { p =>
-        (1 to 64).map { d =>
-          (graft.functions.Md5Long60.hash(
-            org.apache.spark.unsafe.types.UTF8String.fromString(s"hp:$p:$d"))
-            % 2001 - 1000) / 1000.0
-        }.toArray
-      }
-      val bucketExpr = planes.zipWithIndex.map { case (w, p) =>
-        when(graft.functions.VecMath.dotCol(col("embedding"), lit(w)) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
       val wn = emb(s, dir)
         .withColumn("nrm", V.norm("embedding"))
-        .withColumn("bucket", bucketExpr)
+        .withColumn("bucket", hyperplaneBucket("embedding"))
       val qs = wn.filter(col("vec_id") < 20).select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -180,14 +199,7 @@ object VectorOps {
     },
     Some(s"""WITH wn AS (
       |  SELECT vec_id, embedding, ${V.normSql("embedding")} AS nrm,
-      |    CAST(list_sum(list_transform(range(0, 8), p ->
-      |      CASE WHEN list_sum(list_transform(
-      |        list_zip(embedding,
-      |          list_transform(range(1, 65), d ->
-      |            (${Portable.md5LongSql("concat('hp:', p, ':', d)")}
-      |              % 2001 - 1000) / 1000.0)),
-      |        x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
-      |      THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+      |    ${hyperplaneBucketSql("embedding")} AS bucket
       |  FROM embeddings)
       |SELECT query_id, cand_id, cos, CAST(rn AS INTEGER) AS rn FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
