@@ -348,6 +348,24 @@ class PlanSpec extends SparkSpec {
       s"rank filters must push a group limit under the window:\n${s.take(3000)}")
   }
 
+  test("q235: multi-probe LSH candidates join on bucket EQUALITY (hash join, no nested loop)") {
+    // the multi-probe expansion lives on the TINY query side exactly
+    // so the corpus-side candidate join stays a broadcast HASH join
+    // on the bucket key — a hamming-distance join predicate would
+    // plan as BroadcastNestedLoopJoin and score every corpus row at
+    // 100 TB
+    val df = q("q235_fused_retrieval_indexed")
+    df.collect()
+    val s = planString(df)
+    assert("BroadcastHashJoin \\[bucket#".r.findFirstIn(s).isDefined,
+      s"index probe must be a hash equi-join on the bucket key:\n${s.take(3000)}")
+    // (the plan DOES contain one BroadcastNestedLoopJoin — the
+    // brute-force recall-audit crossJoin, same shape as q232/q48;
+    // the serving-path probe join above is the one that must not be)
+    assert(s.contains("WindowGroupLimit"),
+      s"candidate rank filters must push a group limit under the window:\n${s.take(3000)}")
+  }
+
   test("q229: bucketed tables join with ZERO exchanges (SMB co-location)") {
     // run the operator once so both bucketed tables exist, then pin
     // the join plan with broadcast disabled: bucket specs must match
