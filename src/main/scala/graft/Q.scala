@@ -80,5 +80,6 @@ object Q {
       queries.StorageOps.all ++
       queries.CorpusOps4.all ++
       queries.SearchOps2.all ++
-      queries.CurationOps8.all
+      queries.CurationOps8.all ++
+      queries.CurationOps9.all
 }

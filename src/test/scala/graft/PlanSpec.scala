@@ -348,6 +348,23 @@ class PlanSpec extends SparkSpec {
       s"rank filters must push a group limit under the window:\n${s.take(3000)}")
   }
 
+  test("q142: each PageRank round is ONE equi-join over the deg-annotated pinned edges") {
+    // the r6 rework pre-joins out-degree onto the checkpointed edge
+    // table once, so the 3-round unrolled plan must contain exactly 3
+    // equi-joins (rank table vs pinned symdeg) — a regression to
+    // re-joining deg inside the loop would show up as 6. The 4
+    // remaining joins are the broadcast crossJoins with the 1-row n
+    // frame (pr0 seed + one per round), which must all be BNLJ.
+    val df = q("q142_pagerank_purchases")
+    df.collect()
+    val s = planString(df)
+    val equi = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(s).size
+    assert(equi == 3,
+      s"expected exactly 3 equi-joins (one per round), got $equi:\n${s.take(3000)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size == 4,
+      s"n-frame must broadcast (pr0 + 3 rounds):\n${s.take(3000)}")
+  }
+
   test("q235: multi-probe LSH candidates join on bucket EQUALITY (hash join, no nested loop)") {
     // the multi-probe expansion lives on the TINY query side exactly
     // so the corpus-side candidate join stays a broadcast HASH join

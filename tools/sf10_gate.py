@@ -80,6 +80,10 @@ DEFAULT_SUBSET = [
     # round-7 additions
     "q235_fused_retrieval_indexed", "q236_consensus_keeper",
     "q237_decimal_output_canary",
+    # round-7 second wave (cross-split LSH / Dist-ranked batching /
+    # integer apportionment — each a fresh arithmetic class at 100x)
+    "q238_cross_split_contamination", "q239_padding_waste_audit",
+    "q240_quota_sample_largest_remainder",
 ]
 
 
