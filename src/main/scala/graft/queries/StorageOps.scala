@@ -66,5 +66,71 @@ object StorageOps {
       |GROUP BY 1
       |ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Vector[Q] = Vector(q229)
+  /** Incremental view maintenance for an algebraic aggregate
+    * snapshot. The recurring cost that kills daily warehouse jobs is
+    * re-aggregating the FULL fact table for a materialized rollup
+    * when only a day of rows arrived; the scale answer is the
+    * delta-merge: keep the snapshot's per-key sufficient statistics
+    * (exact decimal sum + count — both algebraic, so merge = add),
+    * aggregate ONLY the delta, and full-outer combine on the key
+    * space. Each maintenance run is then Θ(delta) + Θ(keys), never
+    * Θ(fact). Here the cut date splits orders into "snapshot" (<
+    * 1997) and "delta" (≥ 1997) halves, both sides keep decimal
+    * sufficient statistics until ONE final round→double, and the
+    * output carries per-key snapshot/delta attribution so
+    * delta-only and snapshot-only keys are visibly preserved by the
+    * merge. StorageSpec pins the IVM invariant: merge ==
+    * full recompute, key for key.
+    */
+  val q241 = Q(
+    "q241_incremental_view_maintenance",
+    (s, dir) => {
+      val cut = to_date(lit("1997-01-01"))
+      val dim = Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"),
+          count(lit(1)).as("n"))
+      val orders = Tables.t(s, dir, "orders")
+      val snap = agg(orders.filter(col("o_orderdate") < cut))
+        .select(col("n_name"), col("o_year"),
+          col("rev").as("s_rev"), col("n").as("s_n"))
+      val delta = agg(orders.filter(col("o_orderdate") >= cut))
+        .select(col("n_name"), col("o_year"),
+          col("rev").as("d_rev"), col("n").as("d_n"))
+      snap.join(delta, Seq("n_name", "o_year"), "full_outer")
+        .select(col("n_name"), col("o_year"),
+          round(coalesce(col("s_rev"), lit(0)) + coalesce(col("d_rev"), lit(0)), 2)
+            .cast("double").as("revenue"),
+          (coalesce(col("s_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_orders"),
+          coalesce(col("s_n"), lit(0L)).as("n_snapshot"),
+          coalesce(col("d_n"), lit(0L)).as("n_delta"))
+        .orderBy("n_name", "o_year")
+    },
+    Some("""WITH dim AS (
+      |  SELECT c_custkey, n_name
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |snap AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s_rev, count(*) AS s_n
+      |  FROM orders JOIN dim ON o_custkey = c_custkey
+      |  WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1, 2),
+      |delta AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS d_rev, count(*) AS d_n
+      |  FROM orders JOIN dim ON o_custkey = c_custkey
+      |  WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1, 2)
+      |SELECT n_name, o_year,
+      |  CAST(round(coalesce(s_rev, 0) + coalesce(d_rev, 0), 2) AS DOUBLE) AS revenue,
+      |  CAST(coalesce(s_n, 0) + coalesce(d_n, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(s_n, 0) AS BIGINT) AS n_snapshot,
+      |  CAST(coalesce(d_n, 0) AS BIGINT) AS n_delta
+      |FROM snap FULL OUTER JOIN delta USING (n_name, o_year)
+      |ORDER BY n_name, o_year""".stripMargin))
+
+  val all: Vector[Q] = Vector(q229, q241)
 }

@@ -113,4 +113,28 @@ class StorageSpec extends SparkSpec {
       }.collect()
     assert(ok.forall(identity), "each partition must be internally sorted")
   }
+
+  test("q241 IVM invariant: snapshot+delta merge equals the full recompute, key for key") {
+    val merged = Q.byName("q241_incremental_view_maintenance").fn(spark, sf())
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val full = Tables.t(spark, sf(), "orders")
+      .join(Tables.t(spark, sf(), "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(spark, sf(), "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(graft.functions.Portable.moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(merged == full,
+      "incremental maintenance must reproduce the full aggregate exactly")
+    // and the attribution columns must cover every order exactly once
+    val rows = Q.byName("q241_incremental_view_maintenance").fn(spark, sf()).collect()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_snapshot")) +
+        r.getLong(r.fieldIndex("n_delta")) == r.getLong(r.fieldIndex("n_orders")))
+    }
+  }
 }

@@ -83,7 +83,7 @@ DEFAULT_SUBSET = [
     # round-7 second wave (cross-split LSH / Dist-ranked batching /
     # integer apportionment — each a fresh arithmetic class at 100x)
     "q238_cross_split_contamination", "q239_padding_waste_audit",
-    "q240_quota_sample_largest_remainder",
+    "q240_quota_sample_largest_remainder", "q241_incremental_view_maintenance",
 ]
 
 
