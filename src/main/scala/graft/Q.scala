@@ -81,5 +81,7 @@ object Q {
       queries.CorpusOps4.all ++
       queries.SearchOps2.all ++
       queries.CurationOps8.all ++
-      queries.CurationOps9.all
+      queries.CurationOps9.all ++
+      queries.WarehouseOps.all ++
+      queries.SearchOps3.all
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver recomputes for the round-7 ANN-construction wave
+  * (q244/q247).
+  */
+class SearchOps3Spec extends SparkSpec {
+
+  private def h60(s: String): Long =
+    graft.functions.Md5Long60.hashBytes(s.getBytes("UTF-8"))
+
+  private def vecs(): Array[(Long, Array[Float])] =
+    Tables.t(spark, sf(), "embeddings").select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("q244 one NN-descent round: recall equals the driver's recompute and never drops") {
+    val rows = Q.byName("q244_nn_descent_round").fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a_seed", "b_refined"))
+    val vs = vecs()
+    val n = vs.length
+    // blocks of 64 in portable-hash order
+    val order = vs.map(_._1).sortBy(id => (h60(s"nnd:$id"), id))
+    val blkOf = order.zipWithIndex.map { case (id, i) => id -> (i / 64) }.toMap
+    val byId = vs.toMap
+    def topk(cands: Map[Long, Set[Long]]): Map[Long, Seq[Long]] =
+      cands.map { case (node, nbrs) =>
+        node -> nbrs.toSeq
+          .map(b => (b, cos(byId(node), byId(b))))
+          .sortBy { case (b, c) => (-c, b) }.take(5).map(_._1)
+      }
+    val seedCand = vs.map { case (id, _) =>
+      id -> vs.map(_._1).filter(o => o != id && blkOf(o) == blkOf(id)).toSet
+    }.toMap
+    val seed = topk(seedCand)
+    val undirected = seed.toSeq.flatMap { case (a, bs) =>
+      bs.flatMap(b => Seq(a -> b, b -> a)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val twoHop = undirected.map { case (a, bs) =>
+      a -> (bs.flatMap(b => undirected.getOrElse(b, Set.empty)) - a)
+    }
+    val refined = topk(vs.map { case (id, _) =>
+      id -> (seed(id).toSet ++ twoHop.getOrElse(id, Set.empty))
+    }.toMap)
+    val gt = topk(vs.map { case (id, _) =>
+      id -> (vs.map(_._1).toSet - id) }.toMap)
+    val probes = vs.map(_._1).filter(_ < 40)
+    def recall(g: Map[Long, Seq[Long]]): Double = {
+      val hits = probes.map(p => (g(p).toSet & gt(p).toSet).size).sum
+      BigDecimal(hits.toDouble / (5.0 * probes.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows("a_seed").getLong(1) == 5L * n, "every node keeps 5 seed edges")
+    assert(rows("b_refined").getLong(1) == 5L * n)
+    assert(rows("a_seed").getDouble(2) == recall(seed), "seed recall")
+    assert(rows("b_refined").getDouble(2) == recall(refined), "refined recall")
+    assert(rows("b_refined").getDouble(2) >= rows("a_seed").getDouble(2),
+      "keeping top-5 of old ∪ new can never lose recall under the shared tie order")
+  }
+
+  test("q247 sign words, hamming pre-rank, and recall match the driver") {
+    val rows = Q.byName("q247_binary_sign_retrieval").fn(spark, sf()).collect()
+    val vs = vecs()
+    val byId = vs.toMap
+    def words(v: Array[Float]): (Long, Long) = {
+      def w(off: Int) = (0 to 31).map(b =>
+        if (v(b + off) >= 0) 1L << b else 0L).sum
+      (w(0), w(32))
+    }
+    val qs = vs.filter(_._1 < 10)
+    val corpus = vs.filter(_._1 >= 10)
+    val expected = qs.flatMap { case (qid, qv) =>
+      val (q0, q1) = words(qv)
+      val cand = corpus.map { case (cid, cv) =>
+        val (c0, c1) = words(cv)
+        (cid, java.lang.Long.bitCount(c0 ^ q0) + java.lang.Long.bitCount(c1 ^ q1))
+      }.sortBy { case (cid, hd) => (hd, cid) }.take(32)
+      val rr = cand.map { case (cid, hd) => (cid, hd, cos(qv, byId(cid))) }
+        .sortBy { case (cid, _, c) => (-c, cid) }.take(5)
+      val gt = corpus.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toSet
+      val recall = rr.count(t => gt(t._1)).toDouble / 5.0
+      rr.zipWithIndex.map { case ((cid, hd, c), i) =>
+        (qid, i + 1, cid, hd, c, recall) }
+    }
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (qid, rank, cid, hd, c, rec)) =>
+      assert(r.getLong(0) == qid && r.getInt(1) == rank &&
+        r.getLong(2) == cid, s"row order for q$qid rank $rank")
+      assert(r.getInt(r.fieldIndex("hamming")) == hd)
+      assert(r.getDouble(r.fieldIndex("cos")) == c)
+      assert(r.getDouble(r.fieldIndex("recall5")) == rec)
+    }
+  }
+}
