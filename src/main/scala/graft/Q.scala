@@ -83,5 +83,7 @@ object Q {
       queries.CurationOps8.all ++
       queries.CurationOps9.all ++
       queries.WarehouseOps.all ++
-      queries.SearchOps3.all
+      queries.SearchOps3.all ++
+      queries.Analytics5.all ++
+      queries.SketchOps.all
 }

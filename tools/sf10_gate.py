@@ -84,6 +84,11 @@ DEFAULT_SUBSET = [
     # integer apportionment — each a fresh arithmetic class at 100x)
     "q238_cross_split_contamination", "q239_padding_waste_audit",
     "q240_quota_sample_largest_remainder", "q241_incremental_view_maintenance",
+    # round-7 third/fourth wave (zone ranks, CMS inner products,
+    # NN-descent 2-hop sets, sign-word packing — fresh classes at 100x)
+    "q242_zone_map_pruning_audit", "q243_cascade_delete_audit",
+    "q244_nn_descent_round", "q245_join_size_sketch",
+    "q246_hybrid_skew_join", "q247_binary_sign_retrieval",
 ]
 
 
