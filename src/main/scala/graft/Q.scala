@@ -31,9 +31,19 @@ object Q {
     * text near-dup, q180 sampled-quantizer SemDeDup for embeddings)
     * and these stay available for recall audits (SemDeDupSpec), plan
     * pins (PlanSpec) and brute-force parity checks (BaselineSpec).
+    *
+    * q237 is demoted for a DIFFERENT, equally final reason: the
+    * driver's hash canonicalization reads Spark parquet decimals as
+    * `decimal.Decimal` objects but DuckDB oracle decimals as float64
+    * (`.df()` does that at every precision), so a decimal OUTPUT
+    * column can never hash green at the gate even when value-equal —
+    * see the q237 scaladoc for the round-8 probe evidence.
+    * BaselineSpec pins its values so the decimal aggregation path
+    * stays tested.
     */
   def baselines: Vector[Q] = Vector(
-    queries.TextOps.q40, queries.VectorOps.q67, queries.VectorOps.q139)
+    queries.TextOps.q40, queries.VectorOps.q67, queries.VectorOps.q139,
+    queries.CurationOps8.q237)
 
   /** Lookup across registry + demoted baselines (specs use this). */
   def byName(name: String): Q =

@@ -180,16 +180,28 @@ object CurationOps8 {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY exact, minhash, semdedup, containment""".stripMargin))
 
-  /** Decimal-output canary (VERDICT r6 #8). Round 6's q220 was
-    * value-correct yet red at the driver gate because it was the
-    * registry's ONLY query emitting a DECIMAL column — the driver's
-    * hash canonicalizes decimal differently from its value compare,
-    * and nothing cheap exercised that type class. q220 now emits
-    * STRING; this always-on canary keeps one trivially cheap
-    * DECIMAL(38,0) output column in the registry (modest magnitudes,
-    * far inside every canonicalization's exact range) so a
-    * driver/hasher change on decimal trips a visible one-second row
-    * instead of surfacing only on an expensive graph query.
+  /** Decimal-output canary (VERDICT r6 #8) — DEMOTED out of the
+    * registry in round 8 (VERDICT r7 #1), finding FINAL. The round-7
+    * run proved it red at the driver gate (rows/schema green, hash
+    * red) while value-correct locally; round 8 closed the question by
+    * probing the driver-side stack directly: duckdb's `.df()`
+    * converts EVERY decimal precision (38,0 / 18,0 / 15,2 / 12,2 —
+    * both parquet INT64- and FIXED_LEN_BYTE_ARRAY-backed) to pandas
+    * float64, while pyarrow's `to_pandas()` yields `decimal.Decimal`
+    * objects. Python's `Decimal('123') == 123.0` is True — so the
+    * driver's VALUE compare passes — but `str(Decimal('123'))` is
+    * "123" vs "123.0" for the float, so any stringify-then-hash
+    * canonicalization mismatches for EVERY decimal precision and
+    * scale. No decimal representation can hash green; re-pinning at
+    * precision ≤ 18 (the verdict's option (a)) cannot work. Gate
+    * rule, documented in README §correctness: REGISTRY QUERIES MUST
+    * CAST DECIMAL OUTPUT COLUMNS (to double after one final round,
+    * or to string) — decimals remain fine INSIDE a query (q241 keeps
+    * exact decimal sufficient statistics; q01 money sums are decimal
+    * until the last round). The canary itself survives as a demoted
+    * [[graft.Q.baselines]] entry pinned by BaselineSpec, so the
+    * decimal aggregation path stays exercised in `sbt test` without
+    * a permanently red gate row.
     */
   val q237 = Q(
     "q237_decimal_output_canary",
@@ -206,5 +218,5 @@ object CurationOps8 {
       |GROUP BY 1
       |ORDER BY l_returnflag""".stripMargin))
 
-  val all: Vector[Q] = Vector(q236, q237)
+  val all: Vector[Q] = Vector(q236)
 }

@@ -290,10 +290,13 @@ object WarehouseOps {
   /** Hybrid hot/cold skew join. AQE's skew handling splits oversized
     * SHUFFLE partitions, but when a handful of keys each carry far
     * more fact rows than the rest, the scale-robust plan is
-    * key-level routing: detect the hot keys with one per-key count
-    * pass (a ≤handful-row frame at any corpus size when the
-    * threshold tracks the per-key density, which TPC-H and most real
-    * fact tables keep roughly constant as they grow), broadcast ONLY
+    * key-level routing: detect the hot keys as the TOP-K heaviest
+    * (K = 100, count-desc with key tie-break — one per-key count pass
+    * ending in a TakeOrdered, so the hot frame is ≤ K rows BY
+    * CONSTRUCTION at any corpus size; round 7 used an absolute
+    * `cnt ≥ 20` cut, which under TPC-H's ~15-orders-per-customer
+    * density admitted 10–15% of all keys and grew linearly with the
+    * key space — ADVICE r7 #2), broadcast ONLY
     * those keys' dimension rows to the hot fact rows, and let the
     * long tail keep the plain shuffle join — no salting replication
     * cost on 99% of the data, no straggler reducer on the hot 1%.
@@ -312,7 +315,9 @@ object WarehouseOps {
       val c = Tables.t(s, dir, "customer")
         .select("c_custkey", "c_mktsegment")
       val hot = o.groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 20).select(col("o_custkey").as("hk"))
+        .orderBy(col("cnt").desc, col("o_custkey"))
+        .limit(100)
+        .select(col("o_custkey").as("hk"))
       val factHot = o.join(broadcast(hot),
         col("o_custkey") === col("hk"), "left_semi")
       val factCold = o.join(broadcast(hot),
@@ -330,8 +335,9 @@ object WarehouseOps {
         .orderBy("c_mktsegment", "route")
     },
     Some(s"""WITH hot AS (
-      |  SELECT o_custkey AS hk FROM orders
-      |  GROUP BY 1 HAVING count(*) >= 20)
+      |  SELECT o_custkey AS hk FROM (
+      |    SELECT o_custkey, count(*) AS cnt FROM orders
+      |    GROUP BY 1 ORDER BY cnt DESC, o_custkey LIMIT 100))
       |SELECT c_mktsegment,
       |  CASE WHEN o_custkey IN (SELECT hk FROM hot)
       |       THEN 'hot' ELSE 'cold' END AS route,

@@ -77,6 +77,11 @@ class BaselineSpec extends SparkSpec {
       s"q67 diverged from brute force: got ${got.size} pairs, want ${want.size}")
   }
 
+  // q237 (demoted in round 8 — decimal outputs can never hash green at
+  // the driver gate, see CurationOps8.q237) keeps its driver-recompute
+  // value pin in SearchOps2Spec; the registry-exclusion test below now
+  // covers it automatically via Q.baselines.
+
   test("demoted baselines stay out of the registry but resolvable by name") {
     val reg = Q.registry.map(_.name).toSet
     for (b <- Q.baselines) {

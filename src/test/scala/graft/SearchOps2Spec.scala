@@ -103,7 +103,9 @@ class SearchOps2Spec extends SparkSpec {
     val df = Q.byName("q237_decimal_output_canary").fn(spark, sf())
     assert(df.schema("dec_orderkeys").dataType ==
       org.apache.spark.sql.types.DecimalType(38, 0),
-      "the canary exists to keep a decimal(38,0) column in the registry")
+      "the canary (demoted to Q.baselines in r8 — decimal outputs can " +
+        "never hash green at the driver, see its scaladoc) keeps the " +
+        "decimal aggregation path value-tested here")
     val out = df.collect()
       .map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
     val want = Tables.t(spark, sf(), "lineitem")

@@ -77,9 +77,10 @@ DEFAULT_SUBSET = [
     "q223_benford_audit", "q226_mmr_select", "q228_bloom_decontaminate",
     "q231_apriori_triples", "q232_rrf_fusion", "q233_bpe_apply",
     "q234_containment_dedup",
-    # round-7 additions
+    # round-7 additions (q237 demoted out of the registry in r8:
+    # decimal outputs can never hash green at the driver — see
+    # CurationOps8.q237 scaladoc for the probe evidence)
     "q235_fused_retrieval_indexed", "q236_consensus_keeper",
-    "q237_decimal_output_canary",
     # round-7 second wave (cross-split LSH / Dist-ranked batching /
     # integer apportionment — each a fresh arithmetic class at 100x)
     "q238_cross_split_contamination", "q239_padding_waste_audit",
@@ -89,6 +90,12 @@ DEFAULT_SUBSET = [
     "q242_zone_map_pruning_audit", "q243_cascade_delete_audit",
     "q244_nn_descent_round", "q245_join_size_sketch",
     "q246_hybrid_skew_join", "q247_binary_sign_retrieval",
+    # round-7 fifth wave (ADVICE r7 #3: skyline dominance, golden-record
+    # survivorship, sketch-driven join order, HLL rollups/overlap,
+    # conformal coverage — each a fresh arithmetic class at 100x)
+    "q248_skyline_pareto_docs", "q249_entity_resolution_golden",
+    "q250_join_order_from_sketches", "q251_rolling_distinct_hll",
+    "q252_vocab_overlap_hll", "q253_conformal_coverage",
 ]
 
 
