@@ -298,5 +298,216 @@ object SearchOps3 {
       |ORDER BY r.query_id, r.rank""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(q244, q247)
+  /** NN-descent run to (bounded) convergence — q244's single
+    * refinement round extended to the full index-build trajectory
+    * (VERDICT r7 #5): K = 2 unrolled descent rounds over a TWO-SALT
+    * block seed, each round emitting one audited row with the phase's
+    * edge count, the number of edges that CHANGED versus the previous
+    * phase (the convergence signal an index build actually watches —
+    * it shrinks toward 0 as the graph settles), and mean recall@5
+    * over the 40 fixed probes against brute-force ground truth.
+    *
+    * Why two salts: q244's single block partition is all-pairs-scored
+    * WITHIN each block, so its edge set is closed under 2-hop — one
+    * descent round can only re-rank pairs the seed already scored
+    * (correct, but no new information; this is visible in q244's flat
+    * seed→refined recall on the fixtures). Real NN-descent seeds with
+    * randomness so that "my neighbour's neighbour" crosses the seed
+    * structure; here the seed is the top-5 of the UNION of two
+    * independently-salted block partitions, and 2-hop paths that
+    * enter through salt-1 edges and leave through salt-2 edges reach
+    * genuinely unscored candidates — recall climbs and n_new decays
+    * across rounds, the NN-descent signature.
+    *
+    * Each round scores ONLY candidates not already in the graph
+    * (2-hop anti-join the current edge set) and keeps the best 5 of
+    * old ∪ new per node, so recall is monotone by construction and
+    * per-round work SHRINKS as the graph converges — the q221
+    * shrinking-frontier discipline applied to index construction.
+    * Scale shape per round: the 2-hop candidate set is ≤ (2k)² per
+    * node (linear in corpus), the current graph is localCheckpointed
+    * and rotated (bounded lineage), and the probe audit stays
+    * probe × corpus.
+    */
+  val q254 = Q(
+    "q254_nn_descent_converged",
+    (s, dir) => {
+      val vecs = emb(s, dir)
+        .select(col("vec_id"), col("embedding"), V.norm("embedding").as("nrm"))
+        .localCheckpoint(true) // seeds blocks, scoring, and ground truth
+      def blocks(salt: String): DataFrame =
+        Dist.globalRank(
+          vecs.select(col("vec_id"),
+            P.md5Long(concat(lit(salt + ":"), col("vec_id").cast("string")))
+              .as("hk")),
+          Seq(col("hk"), col("vec_id")), "rnk", 32)
+          .select(col("vec_id"), expr("(rnk - 1) div 64").as("blk"))
+      def score(pairs: DataFrame): DataFrame =
+        pairs
+          .join(vecs.select(col("vec_id").as("node"), col("embedding").as("ea"),
+            col("nrm").as("na")), "node")
+          .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("eb"),
+            col("nrm").as("nb")), "nbr")
+          .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
+          .select("node", "nbr", "cos")
+      def topk(scored: DataFrame): DataFrame =
+        scored.withColumn("rr", row_number().over(
+            Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
+          .filter(col("rr") <= 5).select("node", "nbr", "cos")
+      def half(salt: String): DataFrame = {
+        val b = blocks(salt)
+        b.alias("a").join(b.alias("b"),
+            col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("node"), col("b.vec_id").as("nbr"))
+      }
+      // a pair inside the same block under BOTH salts would enter the
+      // union twice with an identical cos — distinct before scoring
+      val halfScored = score(
+        half("nnd1").unionByName(half("nnd2")).distinct())
+        .localCheckpoint(true)
+      val probes = vecs.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("node"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+      val gt = probes.crossJoin(
+          vecs.select(col("vec_id").as("nbr"), col("embedding").as("eb"),
+            col("nrm").as("nb")))
+        .filter(col("node") =!= col("nbr"))
+        .withColumn("cos", round(V.dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy("node").orderBy(col("cos").desc, col("nbr"))))
+        .filter(col("rr") <= 5).select("node", "nbr")
+        .localCheckpoint(true)
+      def phaseRow(graph: DataFrame, prev: Option[DataFrame],
+          phase: String): DataFrame = {
+        val nNew = prev match {
+          case Some(p) => graph.select("node", "nbr")
+            .join(p.select("node", "nbr"), Seq("node", "nbr"), "left_anti")
+            .agg(count(lit(1)).as("n_new"))
+          case None => graph.agg(count(lit(1)).as("n_new"))
+        }
+        val hits = graph.select("node", "nbr")
+          .join(broadcast(probes.select("node")), Seq("node"), "left_semi")
+          .join(gt, Seq("node", "nbr"), "left_semi")
+          .groupBy("node").agg(count(lit(1)).as("hits"))
+        val nEdges = graph.agg(count(lit(1)).as("n_edges"))
+        probes.select("node").join(hits, Seq("node"), "left")
+          .agg(sum(coalesce(col("hits"), lit(0L))).as("h"),
+            count(lit(1)).as("np"))
+          .crossJoin(nEdges).crossJoin(nNew)
+          .select(lit(phase).as("phase"), col("n_edges"), col("n_new"),
+            round(col("h").cast("double") / (lit(5) * col("np")), 4)
+              .as("mean_recall5"))
+      }
+      var cur = topk(halfScored.unionByName(
+        halfScored.select(col("nbr").as("node"), col("node").as("nbr"),
+          col("cos")))).localCheckpoint(true)
+      var out = phaseRow(cur, None, "r0_seed")
+      for (r <- 1 to 2) {
+        val undirected = cur.select("node", "nbr")
+          .unionByName(cur.select(col("nbr").as("node"), col("node").as("nbr")))
+          .distinct()
+        val fresh = undirected.alias("x").join(undirected.alias("y"),
+            col("x.nbr") === col("y.node"))
+          .select(col("x.node").as("node"), col("y.nbr").as("nbr"))
+          .filter(col("node") =!= col("nbr"))
+          .distinct()
+          .join(cur.select("node", "nbr"), Seq("node", "nbr"), "left_anti")
+        val next = topk(score(fresh).unionByName(cur)).localCheckpoint(true)
+        out = out.unionByName(phaseRow(next, Some(cur), s"r${r}_descent"))
+        cur = next
+      }
+      out.orderBy("phase")
+    },
+    Some {
+      def roundCtes(r: Int): String = s"""
+        |und_$r AS (
+        |  SELECT DISTINCT node, nbr FROM (
+        |    SELECT node, nbr FROM g${r - 1}
+        |    UNION ALL SELECT nbr, node FROM g${r - 1})),
+        |fresh_$r AS (
+        |  SELECT node, nbr FROM (
+        |    SELECT DISTINCT x.node, y.nbr
+        |    FROM und_$r x JOIN und_$r y ON x.nbr = y.node
+        |    WHERE x.node <> y.nbr) f
+        |  WHERE NOT EXISTS (SELECT 1 FROM g${r - 1} p
+        |                    WHERE p.node = f.node AND p.nbr = f.nbr)),
+        |g$r AS MATERIALIZED (
+        |  SELECT node, nbr, cos FROM (
+        |    SELECT node, nbr, cos, row_number() OVER (
+        |      PARTITION BY node ORDER BY cos DESC, nbr) AS rr
+        |    FROM (
+        |      SELECT t.node, t.nbr,
+        |        round(${V.dotSql("va.embedding", "vb.embedding")} /
+        |          (va.nrm * vb.nrm), 6) AS cos
+        |      FROM fresh_$r t JOIN vecs va ON va.vec_id = t.node
+        |      JOIN vecs vb ON vb.vec_id = t.nbr
+        |      UNION ALL
+        |      SELECT node, nbr, cos FROM g${r - 1}))
+        |  WHERE rr <= 5),""".stripMargin
+      def phaseSql(r: Int, label: String): String = {
+        val nNew = if (r == 0) s"(SELECT count(*) FROM g0)"
+        else s"""(SELECT count(*) FROM g$r n WHERE NOT EXISTS (
+             |    SELECT 1 FROM g${r - 1} p
+             |    WHERE p.node = n.node AND p.nbr = n.nbr))""".stripMargin
+        s"""SELECT '$label' AS phase,
+           |    (SELECT count(*) FROM g$r) AS n_edges,
+           |    $nNew AS n_new,
+           |    (SELECT count(*) FROM g$r g JOIN gt USING (node, nbr)) AS h""".stripMargin
+      }
+      def blocksSql(salt: String): String =
+        s"""blocks_$salt AS (
+        |  SELECT vec_id, (row_number() OVER (ORDER BY
+        |      ${P.md5LongSql(s"concat('$salt:', vec_id)")}, vec_id) - 1) // 64
+        |    AS blk
+        |  FROM vecs),
+        |half_$salt AS (
+        |  SELECT a.vec_id AS node, b.vec_id AS nbr
+        |  FROM blocks_$salt a JOIN blocks_$salt b
+        |    ON a.blk = b.blk AND a.vec_id < b.vec_id),""".stripMargin
+      s"""WITH vecs AS (
+      |  SELECT vec_id, embedding, ${V.normSql("embedding")} AS nrm
+      |  FROM embeddings),
+      |${blocksSql("nnd1")}
+      |${blocksSql("nnd2")}
+      |half AS (
+      |  SELECT DISTINCT node, nbr FROM (
+      |    SELECT node, nbr FROM half_nnd1
+      |    UNION ALL SELECT node, nbr FROM half_nnd2)),
+      |halfscored AS MATERIALIZED (
+      |  SELECT node, nbr,
+      |    round(${V.dotSql("va.embedding", "vb.embedding")} /
+      |      (va.nrm * vb.nrm), 6) AS cos
+      |  FROM half JOIN vecs va ON va.vec_id = node
+      |  JOIN vecs vb ON vb.vec_id = nbr),
+      |g0 AS MATERIALIZED (
+      |  SELECT node, nbr, cos FROM (
+      |    SELECT node, nbr, cos, row_number() OVER (
+      |      PARTITION BY node ORDER BY cos DESC, nbr) AS rr
+      |    FROM (SELECT node, nbr, cos FROM halfscored
+      |          UNION ALL
+      |          SELECT nbr, node, cos FROM halfscored))
+      |  WHERE rr <= 5),${roundCtes(1)}${roundCtes(2)}
+      |probes AS (SELECT vec_id AS node FROM vecs WHERE vec_id < 40),
+      |gt AS MATERIALIZED (
+      |  SELECT node, nbr FROM (
+      |    SELECT p.node, v.vec_id AS nbr, row_number() OVER (
+      |      PARTITION BY p.node ORDER BY
+      |        round(${V.dotSql("pv.embedding", "v.embedding")} /
+      |          (pv.nrm * v.nrm), 6) DESC, v.vec_id) AS rr
+      |    FROM probes p JOIN vecs pv ON pv.vec_id = p.node
+      |    CROSS JOIN vecs v WHERE v.vec_id <> p.node)
+      |  WHERE rr <= 5),
+      |phases AS (
+      |  ${phaseSql(0, "r0_seed")}
+      |  UNION ALL
+      |  ${phaseSql(1, "r1_descent")}
+      |  UNION ALL
+      |  ${phaseSql(2, "r2_descent")})
+      |SELECT phase, n_edges, n_new,
+      |  round(CAST(h AS DOUBLE) /
+      |    (5 * (SELECT count(*) FROM probes)), 4) AS mean_recall5
+      |FROM phases ORDER BY phase""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q244, q247, q254)
 }

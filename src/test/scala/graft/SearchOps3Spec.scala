@@ -79,6 +79,30 @@ class SearchOps3Spec extends SparkSpec {
       "keeping top-5 of old ∪ new can never lose recall under the shared tie order")
   }
 
+  test("q254 descent converges: recall monotone, n_new decays, salts differ") {
+    val rows = Q.byName("q254_nn_descent_converged").fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("r0_seed", "r1_descent", "r2_descent"))
+    val rec = Seq("r0_seed", "r1_descent", "r2_descent")
+      .map(p => rows(p).getDouble(3))
+    assert(rec == rec.sorted,
+      "keeping top-5 of old ∪ new can never lose recall under the shared tie order")
+    val nNew = Seq("r0_seed", "r1_descent", "r2_descent")
+      .map(p => rows(p).getLong(2))
+    // the convergence signature on the deterministic fixtures: each
+    // round changes FEWER edges than the last, and descent actually
+    // finds cross-salt candidates (a single-salt seed is closed under
+    // 2-hop and would leave n_new at 0 — the q244 design note)
+    assert(nNew(1) > 0, "two-salt seed must leave room for descent")
+    assert(nNew(2) < nNew(1), s"n_new must decay: $nNew")
+    assert(rec(2) > rec(0), s"descent must gain recall over the seed: $rec")
+    // edge count can only grow (nodes with short seed candidate
+    // lists gain edges; nobody loses one)
+    val ne = Seq("r0_seed", "r1_descent", "r2_descent")
+      .map(p => rows(p).getLong(1))
+    assert(ne == ne.sorted && ne.last <= 5L * vecs().length)
+  }
+
   test("q247 sign words, hamming pre-rank, and recall match the driver") {
     val rows = Q.byName("q247_binary_sign_retrieval").fn(spark, sf()).collect()
     val vs = vecs()
