@@ -81,4 +81,36 @@ class SketchOpsSpec extends SparkSpec {
       assert(okFlag, s"$a/$b estimate out of band")
     }
   }
+
+  test("q255 IVM: merged sketch == recompute on every key, both halves exercised") {
+    val rows = Q.byName("q255_hll_view_maintenance").fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // the IVM invariant: union(snapshot sketch, delta sketch) must
+    // estimate exactly what one sketch over the full fact does
+    assert(rows.forall(_.getBoolean(4)), "merge != recompute on some key")
+    assert(rows.forall(_.getBoolean(5)), "estimate out of the 5% band")
+    val parts = rows.map(_.getInt(3)).toSet
+    assert(parts == Set(1, 2),
+      "fixture must contain snapshot-only/delta-only keys AND spanning keys " +
+        s"or the merge path is untested (got n_parts values $parts)")
+    // exact distinct per key matches a driver recompute
+    val want = {
+      val nat = Tables.t(spark, sf(), "customer")
+        .join(Tables.t(spark, sf(), "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      Tables.t(spark, sf(), "orders").select("o_custkey", "o_orderdate")
+        .collect()
+        .map(r => ((nat(r.getLong(0)), r.get(1) match {
+          case d: java.time.LocalDateTime => d.getYear
+          case d: java.time.LocalDate => d.getYear
+          case d: java.sql.Date => d.toLocalDate.getYear
+        }), r.getLong(0)))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct.length }
+    }
+    for (r <- rows)
+      assert(r.getLong(2) == want((r.getString(0), r.getInt(1))),
+        s"exact distinct for ${r.getString(0)}/${r.getInt(1)}")
+  }
 }
