@@ -5,74 +5,18 @@ import graft.functions.{Portable => P, VectorFunctions => V}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-7 curation wave: the consensus keeper (the dedup capstone,
-  * VERDICT r6 #6) and the decimal-output canary (VERDICT r6 #8).
+/** Round-7/8 curation wave: the consensus keeper (the dedup
+  * capstone, VERDICT r6 #6), its round-8 cross-modal extension
+  * (VERDICT r7 #7), and the demoted decimal-output canary
+  * (VERDICT r6 #8 / r7 #1).
   */
 object CurationOps8 {
 
-  /** Consensus keeper — the dedup decision a release pipeline
-    * actually ships. q209 measures how much the dedup methods
-    * overlap; THIS operator turns the four shipped verdict streams
-    * into ONE keeper decision per doc with full per-method
-    * attribution:
-    *
-    *   - exact:       q39's sha256 content groups (doc is dropped
-    *                  when a smaller-id doc has identical text),
-    *   - minhash:     q41's MinHash-LSH pairs (en corpus, Jaccard
-    *                  ≥ 0.8; the larger id of a pair is dropped),
-    *   - semdedup:    q181's two-level sampled-quantizer SemDeDup
-    *                  (cosine ≥ 0.35 within a cell),
-    *   - containment: q234's rare-anchor containment pairs
-    *                  (|A∩B|/min ≥ 0.7; larger id dropped).
-    *
-    * Decision rule (documented, not silent): drop on an EXACT match
-    * always, else drop when at least TWO of the three fuzzy methods
-    * agree — single-method fuzzy verdicts survive, so one
-    * blocking-recall artifact can't delete a document. The verdict
-    * frames come from the SAME query functions the registry ships
-    * (q41/q181/q234 are invoked, not re-implemented), and combining
-    * them is one doc-keyed join pass + one ≤16-row aggregation — no
-    * new pair enumeration anywhere. Output: survivor counts per
-    * method-combination with the decision each combination gets, so
-    * every method's contribution (and every overridden single
-    * verdict) is visible in the result.
+  /** Oracle CTE chain for the four text-side verdict channels
+    * (exact / minhash / semdedup / containment) — shared by q236
+    * (text-only consensus) and q256 (cross-modal consensus).
     */
-  val q236 = Q(
-    "q236_consensus_keeper",
-    (s, dir) => {
-      val docs = Tables.docs(s, dir).select("doc_id", "text")
-      val exDrop = docs
-        .withColumn("keep", min("doc_id").over(
-          Window.partitionBy(sha2(col("text"), 256))))
-        .filter(col("doc_id") =!= col("keep"))
-        .select("doc_id")
-      val mhDrop = TextOps.q41.fn(s, dir)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val sdDrop = VectorOps.q181.fn(s, dir)
-        .select(col("dropped").as("doc_id")).distinct()
-      val ctDrop = CorpusOps4.q234.fn(s, dir)
-        .select(col("doc_b").as("doc_id")).distinct()
-      def flag(verdict: org.apache.spark.sql.DataFrame, name: String) =
-        verdict.withColumn(name, lit(1))
-      docs.select("doc_id")
-        .join(flag(exDrop, "exact"), Seq("doc_id"), "left")
-        .join(flag(mhDrop, "minhash"), Seq("doc_id"), "left")
-        .join(flag(sdDrop, "semdedup"), Seq("doc_id"), "left")
-        .join(flag(ctDrop, "containment"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("exact"), lit(0)).as("exact"),
-          coalesce(col("minhash"), lit(0)).as("minhash"),
-          coalesce(col("semdedup"), lit(0)).as("semdedup"),
-          coalesce(col("containment"), lit(0)).as("containment"))
-        .withColumn("decision",
-          when(col("exact") === 1 ||
-            col("minhash") + col("semdedup") + col("containment") >= 2,
-            lit("drop")).otherwise(lit("keep")))
-        .groupBy("exact", "minhash", "semdedup", "containment", "decision")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("exact", "minhash", "semdedup", "containment")
-    },
-    Some(s"""WITH exg AS (
+  private def verdictCtes: String = s"""exg AS (
       |  SELECT doc_id,
       |    min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
       |  FROM documents),
@@ -160,7 +104,71 @@ object CurationOps8 {
       |  JOIN ct_toks ta ON ta.doc_id = doc_a
       |  JOIN ct_toks tb ON tb.doc_id = doc_b
       |  WHERE len(list_intersect(ta.toks, tb.toks)) /
-      |        least(len(ta.toks), len(tb.toks)) >= 0.7),
+      |        least(len(ta.toks), len(tb.toks)) >= 0.7)""".stripMargin
+
+  /** Consensus keeper — the dedup decision a release pipeline
+    * actually ships. q209 measures how much the dedup methods
+    * overlap; THIS operator turns the four shipped verdict streams
+    * into ONE keeper decision per doc with full per-method
+    * attribution:
+    *
+    *   - exact:       q39's sha256 content groups (doc is dropped
+    *                  when a smaller-id doc has identical text),
+    *   - minhash:     q41's MinHash-LSH pairs (en corpus, Jaccard
+    *                  ≥ 0.8; the larger id of a pair is dropped),
+    *   - semdedup:    q181's two-level sampled-quantizer SemDeDup
+    *                  (cosine ≥ 0.35 within a cell),
+    *   - containment: q234's rare-anchor containment pairs
+    *                  (|A∩B|/min ≥ 0.7; larger id dropped).
+    *
+    * Decision rule (documented, not silent): drop on an EXACT match
+    * always, else drop when at least TWO of the three fuzzy methods
+    * agree — single-method fuzzy verdicts survive, so one
+    * blocking-recall artifact can't delete a document. The verdict
+    * frames come from the SAME query functions the registry ships
+    * (q41/q181/q234 are invoked, not re-implemented), and combining
+    * them is one doc-keyed join pass + one ≤16-row aggregation — no
+    * new pair enumeration anywhere. Output: survivor counts per
+    * method-combination with the decision each combination gets, so
+    * every method's contribution (and every overridden single
+    * verdict) is visible in the result.
+    */
+  val q236 = Q(
+    "q236_consensus_keeper",
+    (s, dir) => {
+      val docs = Tables.docs(s, dir).select("doc_id", "text")
+      val exDrop = docs
+        .withColumn("keep", min("doc_id").over(
+          Window.partitionBy(sha2(col("text"), 256))))
+        .filter(col("doc_id") =!= col("keep"))
+        .select("doc_id")
+      val mhDrop = TextOps.q41.fn(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val sdDrop = VectorOps.q181.fn(s, dir)
+        .select(col("dropped").as("doc_id")).distinct()
+      val ctDrop = CorpusOps4.q234.fn(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      def flag(verdict: org.apache.spark.sql.DataFrame, name: String) =
+        verdict.withColumn(name, lit(1))
+      docs.select("doc_id")
+        .join(flag(exDrop, "exact"), Seq("doc_id"), "left")
+        .join(flag(mhDrop, "minhash"), Seq("doc_id"), "left")
+        .join(flag(sdDrop, "semdedup"), Seq("doc_id"), "left")
+        .join(flag(ctDrop, "containment"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact"), lit(0)).as("exact"),
+          coalesce(col("minhash"), lit(0)).as("minhash"),
+          coalesce(col("semdedup"), lit(0)).as("semdedup"),
+          coalesce(col("containment"), lit(0)).as("containment"))
+        .withColumn("decision",
+          when(col("exact") === 1 ||
+            col("minhash") + col("semdedup") + col("containment") >= 2,
+            lit("drop")).otherwise(lit("keep")))
+        .groupBy("exact", "minhash", "semdedup", "containment", "decision")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("exact", "minhash", "semdedup", "containment")
+    },
+    Some(s"""WITH $verdictCtes,
       |flags AS (
       |  SELECT d.doc_id,
       |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact,
@@ -179,6 +187,132 @@ object CurationOps8 {
       |FROM flags
       |GROUP BY 1, 2, 3, 4
       |ORDER BY exact, minhash, semdedup, containment""".stripMargin))
+
+  /** Cross-modal consensus keeper (VERDICT r7 #7) — q236's vote
+    * extended with a MEDIA channel, so one keeper decision spans the
+    * text and binary-payload views of each document the way a real
+    * multimodal release pipeline decides:
+    *
+    *   - media: hamming-LSH over q198's perceptual hash (aHash-32)
+    *            of the binary payloads — docs bucket on (kind, low
+    *            8 signature bits), ONLY bucket-local pairs are
+    *            enumerated (the q41 LSH band shape applied to
+    *            media), and a pair is flagged when the full 32-bit
+    *            hamming distance is ≤ 10; the larger id is dropped.
+    *            q198's exact-signature groups stay the registry's
+    *            media-dedup operator; the consensus channel widens
+    *            to NEAR-duplicates because a vote channel wants
+    *            recall — its precision is supplied by the vote.
+    *
+    * Decision rule: drop on an EXACT text match always, else drop
+    * when at least TWO of the four fuzzy channels (minhash, semdedup,
+    * containment, media) agree — a lone media collision (4-byte
+    * signatures DO collide by design) can never delete a document,
+    * but media agreement can CONFIRM a single text-side verdict that
+    * q236 alone would have spared. The monotone consensus property
+    * (SearchOps2Spec): adding a channel can only
+    * move documents keep → drop, so q256's drop total ≥ q236's, and
+    * on every media=0 combination the two queries decide identically.
+    * Verdict frames are the shipped query functions (q41/q181/q234/
+    * q198 invoked, not re-implemented); combining them stays one
+    * doc-keyed join pass + one ≤32-row aggregation.
+    */
+  val q256 = Q(
+    "q256_crossmodal_consensus",
+    (s, dir) => {
+      val docs = Tables.docs(s, dir).select("doc_id", "text")
+      val exDrop = docs
+        .withColumn("keep", min("doc_id").over(
+          Window.partitionBy(sha2(col("text"), 256))))
+        .filter(col("doc_id") =!= col("keep"))
+        .select("doc_id")
+      val mhDrop = TextOps.q41.fn(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val sdDrop = VectorOps.q181.fn(s, dir)
+        .select(col("dropped").as("doc_id")).distinct()
+      val ctDrop = CorpusOps4.q234.fn(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      graft.functions.AHash32.register(s)
+      val sigs = graft.multimodal.MediaPipeline
+        .withPayload(Tables.t(s, dir, "documents"))
+        .withColumn("sig", expr("ahash32(payload)"))
+        .select(col("doc_id"), col("kind"), col("sig"),
+          pmod(col("sig"), lit(256)).as("band"))
+      val mdDrop = sigs.alias("a").join(sigs.alias("b"),
+          col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            expr("bit_count(a.sig ^ b.sig) <= 10"))
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      def flag(verdict: org.apache.spark.sql.DataFrame, name: String) =
+        verdict.withColumn(name, lit(1))
+      docs.select("doc_id")
+        .join(flag(exDrop, "exact"), Seq("doc_id"), "left")
+        .join(flag(mhDrop, "minhash"), Seq("doc_id"), "left")
+        .join(flag(sdDrop, "semdedup"), Seq("doc_id"), "left")
+        .join(flag(ctDrop, "containment"), Seq("doc_id"), "left")
+        .join(flag(mdDrop, "media"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact"), lit(0)).as("exact"),
+          coalesce(col("minhash"), lit(0)).as("minhash"),
+          coalesce(col("semdedup"), lit(0)).as("semdedup"),
+          coalesce(col("containment"), lit(0)).as("containment"),
+          coalesce(col("media"), lit(0)).as("media"))
+        .withColumn("decision",
+          when(col("exact") === 1 ||
+            col("minhash") + col("semdedup") + col("containment") +
+              col("media") >= 2,
+            lit("drop")).otherwise(lit("keep")))
+        .groupBy("exact", "minhash", "semdedup", "containment", "media",
+          "decision")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("exact", "minhash", "semdedup", "containment", "media")
+    },
+    Some(s"""WITH $verdictCtes,
+      |md_p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars % 3 = 0 THEN 'image'
+      |         WHEN n_chars % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    upper(md5(text) || md5(text || '1')) AS hexp
+      |  FROM documents),
+      |md_b AS (
+      |  SELECT doc_id, kind,
+      |    [(instr('0123456789ABCDEF', substr(hexp, i*2-1, 1)) - 1) * 16
+      |     + instr('0123456789ABCDEF', substr(hexp, i*2, 1)) - 1
+      |     for i in generate_series(1, 32)] AS bytes
+      |  FROM md_p),
+      |md_s AS (
+      |  SELECT doc_id, kind,
+      |    CAST(list_sum([CASE WHEN bytes[i] * 32 >= list_sum(bytes)
+      |        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END
+      |      for i in generate_series(1, 32)]) AS BIGINT) AS sig
+      |  FROM md_b),
+      |md_drop AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM md_s a JOIN md_s b
+      |    ON a.kind = b.kind AND a.sig % 256 = b.sig % 256
+      |   AND a.doc_id < b.doc_id
+      |   AND bit_count(xor(a.sig, b.sig)) <= 10),
+      |flags AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact,
+      |    CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS minhash,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS semdedup,
+      |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS containment,
+      |    CASE WHEN md.doc_id IS NOT NULL THEN 1 ELSE 0 END AS media
+      |  FROM documents d
+      |  LEFT JOIN ex_drop e ON d.doc_id = e.doc_id
+      |  LEFT JOIN mh_drop m ON d.doc_id = m.doc_id
+      |  LEFT JOIN sd_drop s ON d.doc_id = s.doc_id
+      |  LEFT JOIN ct_drop c ON d.doc_id = c.doc_id
+      |  LEFT JOIN md_drop md ON d.doc_id = md.doc_id)
+      |SELECT exact, minhash, semdedup, containment, media,
+      |  CASE WHEN exact = 1 OR minhash + semdedup + containment + media >= 2
+      |       THEN 'drop' ELSE 'keep' END AS decision,
+      |  count(*) AS n_docs
+      |FROM flags
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY exact, minhash, semdedup, containment, media""".stripMargin))
 
   /** Decimal-output canary (VERDICT r6 #8) — DEMOTED out of the
     * registry in round 8 (VERDICT r7 #1), finding FINAL. The round-7
@@ -218,5 +352,5 @@ object CurationOps8 {
       |GROUP BY 1
       |ORDER BY l_returnflag""".stripMargin))
 
-  val all: Vector[Q] = Vector(q236)
+  val all: Vector[Q] = Vector(q236, q256)
 }

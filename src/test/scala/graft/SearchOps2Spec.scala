@@ -99,6 +99,36 @@ class SearchOps2Spec extends SparkSpec {
     assert(out.exists(_.getString(4) == "drop"))
   }
 
+  test("q256 cross-modal consensus is monotone over q236 and media is live") {
+    val cm = Q.byName("q256_crossmodal_consensus").fn(spark, sf()).collect()
+    val tx = Q.byName("q236_consensus_keeper").fn(spark, sf()).collect()
+    def drops(rows: Array[org.apache.spark.sql.Row], decIdx: Int,
+        nIdx: Int): Long =
+      rows.filter(_.getString(decIdx) == "drop").map(_.getLong(nIdx)).sum
+    // adding a vote channel can only move docs keep -> drop
+    assert(drops(cm, 5, 6) >= drops(tx, 4, 5),
+      "q256 must drop at least every doc q236 drops")
+    // the media channel must actually fire on the fixtures...
+    assert(cm.exists(_.getInt(4) == 1), "media channel is degenerate")
+    // ...a lone media verdict never deletes a document...
+    for (r <- cm if r.getInt(0) == 0 &&
+        r.getInt(1) + r.getInt(2) + r.getInt(3) == 0 && r.getInt(4) == 1)
+      assert(r.getString(5) == "keep", s"lone media verdict dropped docs: $r")
+    // ...and media agreement confirms some single text verdict that
+    // q236 alone would have spared (the cross-modal payoff)
+    assert(cm.exists(r => r.getString(5) == "drop" && r.getInt(4) == 1 &&
+      r.getInt(0) == 0 && r.getInt(1) + r.getInt(2) + r.getInt(3) == 1),
+      "no doc was dropped BECAUSE media confirmed a lone text verdict")
+    // on media=0 combinations the two queries decide identically
+    val txDec = tx.map(r => ((r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getInt(3)), r.getString(4))).toMap
+    for (r <- cm if r.getInt(4) == 0) {
+      val k = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(txDec.get(k).forall(_ == r.getString(5)),
+        s"media=0 combination $k decides differently than q236")
+    }
+  }
+
   test("q237 decimal canary equals a driver recompute and emits DECIMAL(38,0)") {
     val df = Q.byName("q237_decimal_output_canary").fn(spark, sf())
     assert(df.schema("dec_orderkeys").dataType ==
