@@ -220,4 +220,63 @@ class WarehouseSpec extends SparkSpec {
     spark.sql("DROP VIEW IF EXISTS v_top")
     wh.drop(c); wh.drop("base_t")
   }
+
+  /** VERDICT r7 #8: prove ANALYZE visibly pays — a plan must CHANGE
+    * because stats exist. The scenario is the one raw file sizes
+    * cannot solve: a dimension whose files are ABOVE the broadcast
+    * threshold but whose FILTERED size is far below it. Without
+    * column stats Spark's size-only estimator propagates the child
+    * size through a Filter unchanged → sort-merge join; with
+    * `ANALYZE ... FOR ALL COLUMNS` + CBO, equality selectivity = 1/NDV
+    * shrinks the estimate ~100× → broadcast hash join. AQE is off for
+    * the test so the flip is attributable to compile-time stats, not
+    * runtime re-planning (at 100 TB the compile-time choice is what
+    * saves the doomed shuffle from ever starting).
+    */
+  test("ANALYZE column stats flip a filtered-dim join from shuffle to broadcast") {
+    val dir = Files.createTempDirectory("graft-cbo").toFile.getAbsolutePath
+    // ~2000 rows of incompressible 32-char payload → parquet well
+    // above the 32 KB threshold below
+    spark.range(2000)
+      .selectExpr("id AS d_key", "id % 100 AS d_bucket",
+        "md5(CAST(id AS STRING)) AS d_pad")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    spark.sql(s"CREATE TABLE cbo_dim USING parquet OPTIONS (path '$dir/dim')")
+    wh.createManaged("cbo_fact",
+      spark.range(100000).selectExpr("id % 2000 AS f_key"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "32kb")
+      // d_pad is in the output so column pruning cannot shrink the
+      // no-stats size estimate below the threshold on its own — the
+      // flip must come from the FILTER selectivity, which only column
+      // stats can supply
+      def plan(): String = spark.sql(
+        """SELECT sum(length(d_pad)) FROM cbo_fact
+          |JOIN cbo_dim ON f_key = d_key
+          |WHERE d_bucket = 7""".stripMargin)
+        .queryExecution.executedPlan.toString
+      val before = plan()
+      assert(before.contains("SortMergeJoin") &&
+        !before.contains("BroadcastHashJoin"),
+        s"without stats the filtered dim must NOT broadcast:\n$before")
+      val (sizeB, rowsB) = wh.analyze("cbo_dim")
+      assert(rowsB.contains(BigInt(2000)), "ANALYZE must record rowCount")
+      assert(sizeB > 32 * 1024, "the UNfiltered dim must stay above threshold")
+      val after = plan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"with column stats the filtered dim must broadcast:\n$after")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+      wh.drop("cbo_fact")
+    }
+  }
 }
