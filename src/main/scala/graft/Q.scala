@@ -95,5 +95,6 @@ object Q {
       queries.WarehouseOps.all ++
       queries.SearchOps3.all ++
       queries.Analytics5.all ++
-      queries.SketchOps.all
+      queries.SketchOps.all ++
+      queries.ReleaseOps.all
 }

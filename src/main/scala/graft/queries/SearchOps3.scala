@@ -509,5 +509,95 @@ object SearchOps3 {
       |FROM phases ORDER BY phase""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(q244, q247, q254)
+  /** Matryoshka (prefix-dimension) retrieval audit — the embedding
+    * compression that needs NO new index structure: MRL-style models
+    * front-load information so the FIRST d dimensions of a vector
+    * are themselves a usable embedding, and a deployment picks the
+    * shortest prefix whose retrieval quality survives. This operator
+    * produces that decision table: for each prefix length d ∈ {8, 16,
+    * 32, 64}, the mean recall@5 of prefix-cosine retrieval over the
+    * 40 fixed probes against the full-dimension ground truth (d = 64
+    * is the identity row — recall 1.0 — pinning the audit's own
+    * correctness in the result). One probe × corpus scoring pass
+    * computes all four cosines per pair (prefix dots share the scan;
+    * the 8-dim audit is not 8× cheaper to MEASURE, only to SERVE), so
+    * the whole audit is linear in the corpus. The fixtures' vectors
+    * are not MRL-trained, so recall climbing steeply with d is the
+    * expected shape — the operator's value is producing the curve,
+    * not flattering it. Scale path: the chosen prefix feeds the
+    * existing ANN entries (q51 LSH / q66 IVF) at 64/d the density
+    * per byte.
+    */
+  val q258 = Q(
+    "q258_matryoshka_prefix_recall",
+    (s, dir) => {
+      val dims = Seq(8, 16, 32, 64)
+      def norms(pfx: String, c: String) = dims.map(d =>
+        V.norm(s"slice($c, 1, $d)").as(s"${pfx}n$d"))
+      val vecs = emb(s, dir)
+        .select(col("vec_id") +: col("embedding") +: norms("", "embedding"): _*)
+        .localCheckpoint(true)
+      val probes = vecs.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("node") +: col("embedding").as("pe") +:
+          dims.map(d => col(s"n$d").as(s"pn$d")): _*)
+      val corpus = vecs
+        .select(col("vec_id").as("nbr") +: col("embedding").as("ce") +:
+          dims.map(d => col(s"n$d").as(s"cn$d")): _*)
+      val scored = probes.crossJoin(corpus)
+        .filter(col("node") =!= col("nbr"))
+        .select(col("node") +: col("nbr") +: dims.map(d =>
+          round(V.dot(s"slice(pe, 1, $d)", s"slice(ce, 1, $d)") /
+            (col(s"pn$d") * col(s"cn$d")), 6).as(s"cos$d")): _*)
+        .localCheckpoint(true) // one scoring pass feeds all 4 audits
+      def top5(d: Int): DataFrame =
+        scored.withColumn("rr", row_number().over(
+            Window.partitionBy("node").orderBy(col(s"cos$d").desc, col("nbr"))))
+          .filter(col("rr") <= 5).select("node", "nbr")
+      val gt = top5(64).localCheckpoint(true)
+      dims.map { d =>
+        val hits = top5(d).join(gt, Seq("node", "nbr"), "left_semi")
+          .groupBy("node").agg(count(lit(1)).as("hits"))
+        probes.select("node").join(hits, Seq("node"), "left")
+          .agg(sum(coalesce(col("hits"), lit(0L))).as("h"),
+            count(lit(1)).as("np"))
+          .select(lit(d).as("prefix_dims"),
+            round(col("h").cast("double") / (lit(5) * col("np")), 4)
+              .as("mean_recall5"))
+      }.reduce(_ unionByName _).orderBy("prefix_dims")
+    },
+    Some {
+      val dims = Seq(8, 16, 32, 64)
+      val cosCols = dims.map(d =>
+        s"""round(${V.dotSql("p.embedding[1:" + d + "]", "c.embedding[1:" + d + "]")} /
+           |      (${V.normSql("p.embedding[1:" + d + "]")} *
+           |       ${V.normSql("c.embedding[1:" + d + "]")}), 6) AS cos$d"""
+          .stripMargin).mkString(",\n      |    ")
+      def top5Sql(d: Int): String =
+        s"""top$d AS (
+           |  SELECT node, nbr FROM (
+           |    SELECT node, nbr, row_number() OVER (
+           |      PARTITION BY node ORDER BY cos$d DESC, nbr) AS rr
+           |    FROM scored)
+           |  WHERE rr <= 5)""".stripMargin
+      val recallRows = dims.map(d =>
+        s"""SELECT CAST($d AS INTEGER) AS prefix_dims,
+           |    round(CAST((SELECT count(*) FROM top$d t
+           |                JOIN top64 g USING (node, nbr)) AS DOUBLE) /
+           |      (5 * (SELECT count(*) FROM probes)), 4) AS mean_recall5"""
+          .stripMargin).mkString("\n      |  UNION ALL\n      |  ")
+      s"""WITH probes AS (
+      |  SELECT vec_id AS node, embedding FROM embeddings WHERE vec_id < 40),
+      |scored AS MATERIALIZED (
+      |  SELECT p.node, c.vec_id AS nbr,
+      |    $cosCols
+      |  FROM probes p CROSS JOIN embeddings c
+      |  WHERE c.vec_id <> p.node),
+      |${dims.map(top5Sql).mkString(",\n      |")},
+      |rows AS (
+      |  $recallRows)
+      |SELECT prefix_dims, mean_recall5 FROM rows
+      |ORDER BY prefix_dims""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q244, q247, q254, q258)
 }

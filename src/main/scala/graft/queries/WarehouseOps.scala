@@ -347,5 +347,81 @@ object WarehouseOps {
       |GROUP BY 1, 2
       |ORDER BY c_mktsegment, route""".stripMargin))
 
-  val all: Vector[Q] = Vector(q242, q243, q245, q246)
+  /** Shard-rebalance audit: modulo vs rendezvous (HRW) hashing when
+    * a corpus grows from 8 to 9 shards. At 100 TB "moving a doc"
+    * means rewriting bytes, so the rebalance cost IS the moved
+    * fraction: modulo placement (`h % N`) remaps ~(N-1)/N ≈ 8/9 of
+    * all documents on a single shard-count change, while rendezvous
+    * hashing (each doc goes to argmax over shards of
+    * hash(shard, doc)) provably moves exactly the docs the NEW shard
+    * wins ≈ 1/9 — the operator emits both, plus the post-rebalance
+    * largest-shard share, so the placement policy decision reads off
+    * one result. Scale shape: HRW scores are a 9-way explode (linear,
+    * constant factor = shard count), the argmax is one grouped
+    * lexicographic max (struct max — deterministic even under hash
+    * ties), and no doc text ever moves through the audit.
+    */
+  val q259 = Q(
+    "q259_shard_rebalance_audit",
+    (s, dir) => {
+      val docs = Tables.docs(s, dir).select("doc_id")
+      def audit(assign: DataFrame, method: String): DataFrame = {
+        val moved = assign.agg(count(lit(1)).as("n_docs"),
+          sum((col("olds") =!= col("news")).cast("long")).as("n_moved"))
+        val skew = assign.groupBy("news").agg(count(lit(1)).as("c"))
+          .agg(max("c").as("maxc"), sum("c").as("tot"))
+        moved.crossJoin(skew)
+          .select(lit(method).as("method"), col("n_docs"), col("n_moved"),
+            round(col("n_moved").cast("double") / col("n_docs"), 4)
+              .as("moved_pct"),
+            round(col("maxc").cast("double") / col("tot"), 4)
+              .as("max_shard_pct"))
+      }
+      val h = P.md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
+      val modA = docs.select(pmod(h, lit(8)).as("olds"),
+        pmod(h, lit(9)).as("news"))
+      val hrwA = docs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(8))).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          P.md5Long(concat_ws(":", lit("hrw"), col("sh").cast("string"),
+            col("doc_id").cast("string"))).as("hw"))
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("sh") < 8, struct(col("hw"), col("sh"))))
+            .getField("sh").as("olds"),
+          max(struct(col("hw"), col("sh"))).getField("sh").as("news"))
+      audit(modA, "a_mod").unionByName(audit(hrwA, "b_hrw"))
+        .orderBy("method")
+    },
+    Some(s"""WITH h AS (
+      |  SELECT doc_id, ${P.md5LongSql("concat('shard:', doc_id)")} AS hv
+      |  FROM documents),
+      |mod_assign AS (SELECT hv % 8 AS olds, hv % 9 AS news FROM h),
+      |hrw AS (
+      |  SELECT doc_id, s,
+      |    ${P.md5LongSql("concat('hrw:', s, ':', doc_id)")} AS hw
+      |  FROM documents CROSS JOIN (SELECT unnest(range(9)) AS s) ss),
+      |hrw_assign AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN s < 8 THEN struct_pack(h := hw, s := s) END).s AS olds,
+      |    max(struct_pack(h := hw, s := s)).s AS news
+      |  FROM hrw GROUP BY doc_id),
+      |audits AS (
+      |  SELECT 'a_mod' AS method,
+      |    (SELECT count(*) FROM mod_assign) AS n_docs,
+      |    (SELECT count(*) FROM mod_assign WHERE olds <> news) AS n_moved,
+      |    (SELECT max(c) FROM (SELECT count(*) AS c FROM mod_assign
+      |       GROUP BY news)) AS maxc
+      |  UNION ALL
+      |  SELECT 'b_hrw',
+      |    (SELECT count(*) FROM hrw_assign),
+      |    (SELECT count(*) FROM hrw_assign WHERE olds <> news),
+      |    (SELECT max(c) FROM (SELECT count(*) AS c FROM hrw_assign
+      |       GROUP BY news)))
+      |SELECT method, n_docs, n_moved,
+      |  round(CAST(n_moved AS DOUBLE) / n_docs, 4) AS moved_pct,
+      |  round(CAST(maxc AS DOUBLE) / n_docs, 4) AS max_shard_pct
+      |FROM audits ORDER BY method""".stripMargin))
+
+  val all: Vector[Q] = Vector(q242, q243, q245, q246, q259)
 }

@@ -137,4 +137,33 @@ class StorageSpec extends SparkSpec {
         r.getLong(r.fieldIndex("n_delta")) == r.getLong(r.fieldIndex("n_orders")))
     }
   }
+
+  test("q260 holistic IVM: merged-histogram median lands within one bin of exact") {
+    val rows = Q.byName("q260_quantile_view_maintenance").fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getBoolean(3), s"median outside the declared half-bin bound: $r")
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) <= 1000.0)
+    }
+    // driver recompute of the merged-histogram estimate: bin counts
+    // merge by addition, so the estimate must equal a direct
+    // single-pass histogram's two-middle-bin-midpoint average
+    val vals = Tables.t(spark, sf(), "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = vals.groupBy(_._1).map { case (pr, xs) =>
+      val hist = xs.map(x => math.floor(x._2 / 2000).toLong)
+        .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+      val n = xs.length.toLong
+      val cums = hist.keys.toSeq.sorted
+        .scanLeft((Long.MinValue, 0L)) { case ((_, cum), b) => (b, cum + hist(b)) }
+        .drop(1)
+      val blo = cums.find(_._2 >= (n + 1) / 2).get._1
+      val bhi = cums.find(_._2 >= n / 2 + 1).get._1
+      pr -> ((blo + bhi + 1.0) * 1000)
+    }
+    for (r <- rows)
+      assert(r.getDouble(2) == want(r.getString(0)),
+        s"estimated median for ${r.getString(0)}")
+  }
 }

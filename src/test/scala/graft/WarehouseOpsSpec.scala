@@ -130,4 +130,27 @@ class WarehouseOpsSpec extends SparkSpec {
     }
     assert(rows.map(_.getString(1)).toSet.subsetOf(Set("hot", "cold")))
   }
+
+  test("q259 HRW moves only the new shard's wins; modulo moves most docs") {
+    val rows = Q.byName("q259_shard_rebalance_audit").fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a_mod", "b_hrw"))
+    val n = rows("a_mod").getLong(1).toDouble
+    // the whole point of rendezvous hashing: ~1/9 moves vs ~8/9
+    assert(rows("b_hrw").getLong(2) < rows("a_mod").getLong(2) / 4,
+      "HRW must move far fewer docs than modulo")
+    assert(math.abs(rows("b_hrw").getLong(2) / n - 1.0 / 9) < 0.05,
+      "HRW moved fraction must sit near 1/9")
+    // driver recompute: a doc moves under HRW iff shard 8 wins the
+    // 9-way argmax — and then its new home IS shard 8
+    val ids = Tables.docs(spark, sf()).select("doc_id").collect()
+      .map(_.getLong(0))
+    def h60(s: String): Long =
+      graft.functions.Md5Long60.hashBytes(s.getBytes("UTF-8"))
+    val moved = ids.count { id =>
+      (0 to 8).maxBy(s => (h60(s"hrw:$s:$id"), s)) == 8
+    }
+    assert(rows("b_hrw").getLong(2) == moved.toLong,
+      "HRW moved count must equal the argmax-wins recompute")
+  }
 }

@@ -96,6 +96,11 @@ DEFAULT_SUBSET = [
     "q248_skyline_pareto_docs", "q249_entity_resolution_golden",
     "q250_join_order_from_sketches", "q251_rolling_distinct_hll",
     "q252_vocab_overlap_hll", "q253_conformal_coverage",
+    # round-8 additions (NN-descent convergence, HLL IVM, cross-modal
+    # consensus — unrolled-round sets, sketch-merge parity, and 5-way
+    # vote combinations are each scale-sensitive arithmetic)
+    "q254_nn_descent_converged", "q255_hll_view_maintenance",
+    "q256_crossmodal_consensus",
 ]
 
 
