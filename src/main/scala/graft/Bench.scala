@@ -91,7 +91,12 @@ object Bench {
     // fixtures, where a second pass of an hour-long sweep buys little.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
-    val names = Q.registry.filter(_.bench).map(_.name).sorted
+    // SPARK_GRAFT_ONLY (comma-separated names): time a targeted subset
+    // — e.g. re-measuring two iterative graph queries at sf10 without
+    // paying the full registry sweep. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val names = Q.registry.filter(_.bench).map(_.name)
+      .filter(n => only.forall(_.contains(n))).sorted
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // Queries are self-contained, so their pinned blocks (cache +
     // localCheckpoint RDDs) are dead weight once timed; dropping them

@@ -25,8 +25,13 @@ object SketchOps {
     * from constant-size count-min sketches (4×1024 counters per side,
     * q245's cells) + the fact count: est|li⋈D| by CMS inner product,
     * the second hop by independence est₁·est(D2)/N — computed in pure
-    * integer arithmetic ((est₁·est₂) div N, products < 2⁶³ through
-    * sf10; a 100 TB deployment widens to decimal). The exact audit
+    * integer arithmetic via the split-multiply identity
+    * ⌊e₁e₂/N⌋ = (e₁ div N)·e₂ + (e₂ div N)·(e₁ mod N)
+    *          + ((e₁ mod N)·(e₂ mod N)) div N,
+    * whose every intermediate is bounded by max(e₁e₂/N, N²) — the
+    * naive (e₁·e₂) div N overflowed 2⁶³ at sf10 (round-8 gate run),
+    * where CMS estimates reach ~10¹² each; the identity stays
+    * BIGINT-exact at any scale where the ANSWER fits. The exact audit
     * never materializes a join: per-row membership flags from three
     * key semi-joins, then ONE aggregate yields all 3 single and 3
     * pairwise intermediate sizes. Output: all 6 orders with estimated
@@ -87,7 +92,9 @@ object SketchOps {
           "CASE d1 WHEN 'p' THEN est_pk WHEN 's' THEN est_sk ELSE est_ok END"))
         .withColumn("e2", expr(
           "CASE d2 WHEN 'p' THEN est_pk WHEN 's' THEN est_sk ELSE est_ok END"))
-        .withColumn("est_cost", expr("e1 + (e1 * e2) div n"))
+        .withColumn("est_cost", expr(
+          """e1 + (e1 div n) * e2 + (e2 div n) * (e1 % n) +
+             ((e1 % n) * (e2 % n)) div n"""))
         .withColumn("exact_cost", expr("""
           CASE d1 WHEN 'p' THEN cp WHEN 's' THEN cs ELSE co END +
           CASE WHEN d1 = 'p' AND d2 = 's' OR d1 = 's' AND d2 = 'p' THEN cps
@@ -143,7 +150,8 @@ object SketchOps {
          |  ('orders>part>supplier', 'o', 'p'), ('orders>supplier>part', 'o', 's')),
          |costed AS (
          |  SELECT join_order,
-         |    e1 + (e1 * e2) // n AS est_cost,
+         |    e1 + (e1 // n) * e2 + (e2 // n) * (e1 % n) +
+         |      ((e1 % n) * (e2 % n)) // n AS est_cost,
          |    CASE d1 WHEN 'p' THEN cp WHEN 's' THEN cs ELSE co END +
          |    CASE WHEN (d1 = 'p' AND d2 = 's') OR (d1 = 's' AND d2 = 'p') THEN cps
          |         WHEN (d1 = 'p' AND d2 = 'o') OR (d1 = 'o' AND d2 = 'p') THEN cpo

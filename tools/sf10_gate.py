@@ -26,6 +26,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # toward each round's additions so the 100x oracle keeps probing new
 # risk classes instead of re-proving settled ones).
 #
+# r7 -> r8 diff: q237 dropped (demoted from the registry — decimal
+# outputs can never hash green at the driver; see CurationOps8.q237);
+# q248-q253 added (ADVICE r7 #3 — the round-7 fifth/sixth waves never
+# got a 100x check); q254-q256 and q257-q260 added (the round-8
+# waves). Everything in the r7 subset is retained, so this run also
+# closes VERDICT r7 #3 (the rotated subset was never executed on
+# round-7 code).
+#
 # r6 -> r7 diff:
 #   rotated OUT (15, each hash-green at sf10 in r6 and carrying no
 #   novel arithmetic class beyond what the kept core still probes):
@@ -101,6 +109,10 @@ DEFAULT_SUBSET = [
     # vote combinations are each scale-sensitive arithmetic)
     "q254_nn_descent_converged", "q255_hll_view_maintenance",
     "q256_crossmodal_consensus",
+    # round-8 second wave (digest diffs, prefix-cosine recall, HRW
+    # argmax, two-middle-bin medians)
+    "q257_release_diff_audit", "q258_matryoshka_prefix_recall",
+    "q259_shard_rebalance_audit", "q260_quantile_view_maintenance",
 ]
 
 
