@@ -328,5 +328,122 @@ object Analytics5 {
       |GROUP BY seg, n_cal, qhat
       |ORDER BY seg""".stripMargin))
 
-  val all: Vector[Q] = Vector(q248, q249, q253)
+  /** Time-series resample with linear interpolation (round 8) — the
+    * gap-fill a metrics warehouse runs when a sparse series must land
+    * on a dense calendar: q71 zero-fills and q85 forward-fills
+    * (LOCF); THIS interpolates, which is what dashboards and feature
+    * pipelines actually want between sparse observations. A sparse
+    * series is derived deterministically (daily nation revenue, days
+    * with daynum % 3 == 0 withheld), resampled onto a LITERAL
+    * two-year spine, and each gap day gets
+    * (prev·(m−k) + next·k) div m  (k = days since prev observation,
+    * m = gap length) from one backward and one forward IGNORE NULLS
+    * window — edges fall back to the nearest observed value. The
+    * interpolation runs in INTEGER CENTS with a nonnegative
+    * numerator, so the floor division is engine-identical; the float
+    * form was abandoned after the gate caught it — money deltas are
+    * 2-dp rationals, so the double quotient lands on exact .xx5 ties
+    * SYSTEMATICALLY, and Spark's round (shortest-decimal HALF_UP)
+    * disagrees with DuckDB's (binary-value) on every such tie. One
+    * double division by 100 at the output is a single IEEE op, bit-
+    * identical in both engines. Scale shape: the
+    * windows run over the RESAMPLED series — partitioned by nation
+    * and bounded by calendar length, never fact-sized; the fact
+    * table is touched once by the daily aggregate.
+    */
+  val q261 = Q(
+    "q261_resample_interpolate",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Tables.t(s, dir, "customer")
+        .join(Tables.t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+        .filter(col("n_name").isin("NATION_0", "NATION_1", "NATION_2"))
+      val daily = Tables.t(s, dir, "orders")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate").between(
+          to_date(lit("1996-01-01")), to_date(lit("1997-12-31"))))
+        .groupBy(col("n_name"), col("o_orderdate").as("day"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+          .cast("long").as("cts")) // exact integer cents
+      val observed = daily
+        .filter(pmod(datediff(col("day"), to_date(lit("1996-01-01"))),
+          lit(3)) =!= 0)
+      val spine = dim.select("n_name").distinct()
+        .crossJoin(Seq(1).toDF("one").select(explode(expr(
+          "sequence(DATE'1996-01-01', DATE'1997-12-31', interval 1 day)"))
+          .as("day")))
+      val w = Window.partitionBy("n_name").orderBy("day")
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val dn = datediff(col("day"), to_date(lit("1996-01-01")))
+      spine.join(observed, Seq("n_name", "day"), "left")
+        .withColumn("dn", dn.cast("long"))
+        .withColumn("pv", last(col("cts"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("cts").isNotNull, col("dn")),
+          ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("cts"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("cts").isNotNull, col("dn")),
+          ignoreNulls = true).over(fwd))
+        .withColumn("icts",
+          when(col("cts").isNotNull, col("cts"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(expr(
+              "(pv * (nd - dn) + nv * (dn - pd)) div (nd - pd)")))
+        .select(col("n_name"), col("day"),
+          col("cts").isNotNull.as("observed"),
+          (col("icts").cast("double") / 100.0).as("value"))
+        .orderBy("n_name", "day")
+    },
+    Some("""WITH dim AS (
+      |  SELECT c_custkey, n_name
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')),
+      |daily AS (
+      |  SELECT n_name, o_orderdate AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+      |      AS cts
+      |  FROM orders JOIN dim ON o_custkey = c_custkey
+      |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |  GROUP BY 1, 2),
+      |observed AS (
+      |  SELECT * FROM daily
+      |  WHERE datediff('day', DATE '1996-01-01', day) % 3 <> 0),
+      |spine AS (
+      |  SELECT n_name, CAST(d AS DATE) AS day
+      |  FROM (SELECT DISTINCT n_name FROM dim)
+      |  CROSS JOIN (SELECT unnest(generate_series(DATE '1996-01-01',
+      |    DATE '1997-12-31', INTERVAL 1 DAY)) AS d)),
+      |f AS (
+      |  SELECT s.n_name, s.day, o.cts,
+      |    CAST(datediff('day', DATE '1996-01-01', s.day) AS BIGINT) AS dn,
+      |    last_value(o.cts IGNORE NULLS) OVER (
+      |      PARTITION BY s.n_name ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN o.cts IS NOT NULL THEN
+      |        CAST(datediff('day', DATE '1996-01-01', s.day) AS BIGINT)
+      |      END IGNORE NULLS) OVER (
+      |      PARTITION BY s.n_name ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(o.cts IGNORE NULLS) OVER (
+      |      PARTITION BY s.n_name ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN o.cts IS NOT NULL THEN
+      |        CAST(datediff('day', DATE '1996-01-01', s.day) AS BIGINT)
+      |      END IGNORE NULLS) OVER (
+      |      PARTITION BY s.n_name ORDER BY s.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM spine s LEFT JOIN observed o
+      |    ON s.n_name = o.n_name AND s.day = o.day)
+      |SELECT n_name, day, cts IS NOT NULL AS observed,
+      |  CAST(CASE WHEN cts IS NOT NULL THEN cts
+      |            WHEN pv IS NULL THEN nv
+      |            WHEN nv IS NULL THEN pv
+      |            ELSE (pv * (nd - dn) + nv * (dn - pd)) // (nd - pd)
+      |       END AS DOUBLE) / 100.0 AS value
+      |FROM f ORDER BY n_name, day""".stripMargin))
+
+  val all: Vector[Q] = Vector(q248, q249, q253, q261)
 }

@@ -113,6 +113,7 @@ DEFAULT_SUBSET = [
     # argmax, two-middle-bin medians)
     "q257_release_diff_audit", "q258_matryoshka_prefix_recall",
     "q259_shard_rebalance_audit", "q260_quantile_view_maintenance",
+    "q261_resample_interpolate",
 ]
 
 
