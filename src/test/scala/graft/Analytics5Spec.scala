@@ -89,4 +89,31 @@ class Analytics5Spec extends SparkSpec {
       assert(cov > 0.8, s"$seg coverage $cov")
     }
   }
+
+  test("q261 interpolation: exact on observed days, between neighbours on gaps") {
+    val rows = Q.byName("q261_resample_interpolate").fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byNation) {
+      val seq = rs.sortBy(_.get(1).toString)
+      // every interpolated value lies in [min, max] of its two
+      // neighbouring observations (convexity of linear interpolation)
+      var lastObs: Option[Double] = None
+      var pending = List.empty[Double]
+      for (r <- seq) {
+        val v = r.getDouble(3)
+        if (r.getBoolean(2)) {
+          for (p <- pending; lo <- lastObs)
+            assert(p >= math.min(lo, v) - 0.01 && p <= math.max(lo, v) + 0.01,
+              s"gap value $p outside neighbour envelope [$lo, $v]")
+          pending = Nil
+          lastObs = Some(v)
+        } else pending = v :: pending
+      }
+      // values are exact cents
+      for (r <- seq)
+        assert((BigDecimal(r.getDouble(3)) * 100).isWhole,
+          s"value must be an exact cent amount: ${r.getDouble(3)}")
+    }
+  }
 }
