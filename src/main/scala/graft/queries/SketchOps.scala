@@ -301,8 +301,14 @@ object SketchOps {
     * `hll_sketch_agg` is itself already a register-max merge of
     * per-partition partials, which is why this holds). `est_ok`
     * separately bounds the estimate against the exact distinct count
-    * by max(5%, 3) — lgK=12's ≤1.6% rel. std. error clears it with
-    * margin. `n_parts` keeps snapshot-only and delta-only keys
+    * by max(8%, 3): lgK=12's rel. std. error is 1.625%, and an
+    * ALWAYS-ON per-key assertion over 175 keys needs ~5σ — the
+    * round-8 sf10 gate proved 5% (3.1σ) too tight exactly as the
+    * binomial math predicts (one key of 175 at 45,700 exact landed
+    * outside; merge==recompute still held on every key, so the
+    * sketch was healthy and the BAND was the defect). 8% = 4.9σ
+    * puts the per-run false-alarm probability near 1e-4 while a
+    * broken sketch or merge still fails by orders of magnitude. `n_parts` keeps snapshot-only and delta-only keys
     * visible (years < 1997 never gain a delta sketch; the merge must
     * preserve them untouched).
     */
@@ -335,7 +341,7 @@ object SketchOps {
           col("n_parts"),
           (col("est_merged") === col("est_full")).as("merge_eq_recompute"),
           (abs(col("est_merged") - col("exact_customers")) <=
-            greatest(round(col("exact_customers") * 0.05), lit(3.0)))
+            greatest(round(col("exact_customers") * 0.08), lit(3.0)))
             .as("est_ok"))
         .orderBy("n_name", "o_year")
     },

@@ -88,7 +88,7 @@ class SketchOpsSpec extends SparkSpec {
     // the IVM invariant: union(snapshot sketch, delta sketch) must
     // estimate exactly what one sketch over the full fact does
     assert(rows.forall(_.getBoolean(4)), "merge != recompute on some key")
-    assert(rows.forall(_.getBoolean(5)), "estimate out of the 5% band")
+    assert(rows.forall(_.getBoolean(5)), "estimate out of the 8% band")
     val parts = rows.map(_.getInt(3)).toSet
     assert(parts == Set(1, 2),
       "fixture must contain snapshot-only/delta-only keys AND spanning keys " +
