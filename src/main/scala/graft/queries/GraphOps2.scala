@@ -192,5 +192,108 @@ object GraphOps2 {
       |SELECT node, deg FROM core
       |ORDER BY deg DESC, node LIMIT 20""".stripMargin))
 
-  val all: Vector[Q] = Vector(q220, q221)
+  /** Incremental connected-components maintenance (round 8) — the IVM
+    * trilogy (q241 algebraic / q255 distinct / q260 holistic) extended
+    * to GRAPH state, the case a dedup warehouse actually faces daily:
+    * the near-dup cluster assignment (q100's band graph) must absorb a
+    * batch of NEW documents without re-running CC over the full
+    * corpus. The stored state is the snapshot's per-band-node
+    * component label (labels are min-node ids, so a component id IS a
+    * member node id and the namespaces compose). A refresh CONTRACTS
+    * the delta edges — each endpoint rewritten to its snapshot label
+    * where one exists — and runs CC only on that contracted graph,
+    * whose size is Θ(delta + touched components), never Θ(corpus);
+    * final labels are the two-step composition. Min-label
+    * correctness survives composition because every snapshot
+    * component id is that component's min node: the merged
+    * component's min over contracted ids equals its true min node.
+    * Output: per-cluster doc counts with snapshot/delta attribution
+    * (min doc_id as the cluster key, q100's convention). The oracle
+    * is the FULL recursive-CTE closure over snapshot ∪ delta — the
+    * incremental path must reproduce the full recompute exactly, the
+    * same invariant StorageSpec pins for q241. The snapshot split is
+    * q257's release framing (doc_id % 7 == 3 arrives in the delta).
+    */
+  val q262 = Q(
+    "q262_incremental_cc_maintenance",
+    (s, dir) => {
+      import graft.functions.{Portable => P}
+      graft.functions.MinHashBands.register(s)
+      val db = Tables.docs(s, dir)
+        .select(col("doc_id"), P.tokenSet(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
+        .select(col("doc_id"),
+          col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"),
+          (pmod(col("doc_id"), lit(7)) =!= 3).as("is_snap"))
+        .localCheckpoint(true) // feeds snapshot CC, delta contraction, final join
+      // stored snapshot state: (band node -> component min-node label)
+      val snapComp = graft.graph.ConnectedComponents.run(
+        db.filter(col("is_snap"))
+          .select(col("b0").as("a"), col("b1").as("b")))
+        .localCheckpoint(true)
+      // contract delta edges onto snapshot labels (unknown endpoints
+      // keep their own id — they are genuinely new nodes)
+      val contracted = db.filter(!col("is_snap"))
+        .select("b0", "b1")
+        .join(snapComp.select(col("node").as("b0"), col("component").as("ca")),
+          Seq("b0"), "left")
+        .join(snapComp.select(col("node").as("b1"), col("component").as("cb")),
+          Seq("b1"), "left")
+        .select(coalesce(col("ca"), col("b0")).as("a"),
+          coalesce(col("cb"), col("b1")).as("b"))
+      val merged = graft.graph.ConnectedComponents.run(contracted)
+      // compose: node -> snapshot label -> merged label (either hop
+      // may be absent: untouched components / snapshot-only nodes)
+      val nodes = db.select(explode(array(col("b0"), col("b1"))).as("node"))
+        .distinct()
+      val finalLab = nodes
+        .join(snapComp, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("c1"))
+        .join(merged.select(col("node").as("c1"), col("component").as("c2")),
+          Seq("c1"), "left")
+        .select(col("node"), coalesce(col("c2"), col("c1")).as("comp"))
+      db.join(finalLab, db("b0") === finalLab("node"))
+        .groupBy("comp")
+        .agg(min("doc_id").as("cluster"), count(lit(1)).as("n_docs"),
+          sum(col("is_snap").cast("long")).as("n_snapshot"),
+          sum((!col("is_snap")).cast("long")).as("n_delta"))
+        .select("cluster", "n_docs", "n_snapshot", "n_delta")
+        .orderBy("cluster")
+    },
+    Some {
+      import graft.functions.{Portable => P}
+      s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, ${P.tokenSetSql("text")} AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+      |mh AS (
+      |  SELECT doc_id, seed, min(${P.md5LongSql("concat(seed, ':', tok)")}) AS minh
+      |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      |  GROUP BY 1, 2),
+      |db AS (
+      |  SELECT doc_id,
+      |    min(CASE WHEN band = 0 THEN bucket END) AS b0,
+      |    min(CASE WHEN band = 1 THEN bucket END) AS b1
+      |  FROM (
+      |    SELECT doc_id, seed // 8 AS band,
+      |      ${P.md5LongSql("concat(seed // 8, '|', string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)))")} AS bucket
+      |    FROM mh GROUP BY doc_id, seed // 8)
+      |  GROUP BY doc_id),
+      |dbf AS (SELECT doc_id, b0, b1, doc_id % 7 <> 3 AS is_snap FROM db),
+      |edges AS (SELECT b0 AS a, b1 AS b FROM dbf UNION SELECT b1, b0 FROM dbf),
+      |nodes AS (SELECT DISTINCT b0 AS node FROM dbf UNION SELECT DISTINCT b1 FROM dbf),
+      |reach AS (
+      |  SELECT node, node AS lab FROM nodes
+      |  UNION
+      |  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      |comp AS (SELECT node, min(lab) AS cl FROM reach GROUP BY node)
+      |SELECT min(doc_id) AS cluster, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN is_snap THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot,
+      |  CAST(sum(CASE WHEN is_snap THEN 0 ELSE 1 END) AS BIGINT) AS n_delta
+      |FROM dbf JOIN comp c ON dbf.b0 = c.node
+      |GROUP BY c.cl
+      |ORDER BY cluster""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q220, q221, q262)
 }

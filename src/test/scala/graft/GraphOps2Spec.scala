@@ -104,4 +104,37 @@ class GraphOps2Spec extends SparkSpec {
     assert(out.toSeq == want, s"spark ${out.toSeq} vs driver $want")
     assert(out.nonEmpty)
   }
+
+  test("q262 incremental CC == full recompute; merges actually happen") {
+    val inc = Q.byName("q262_incremental_cc_maintenance").fn(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // full recompute on the union graph, through the SAME engine CC
+    graft.functions.MinHashBands.register(spark)
+    val db = Tables.docs(spark, sf())
+      .select(col("doc_id"),
+        graft.functions.Portable.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
+      .select(col("doc_id"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"),
+        (pmod(col("doc_id"), lit(7)) =!= 3).as("is_snap"))
+    val comp = graft.graph.ConnectedComponents.run(
+      db.select(col("b0").as("a"), col("b1").as("b")))
+    val full = db.join(comp, db("b0") === comp("node"))
+      .groupBy("component")
+      .agg(min("doc_id").as("cluster"), count(lit(1)).as("n"),
+        sum(col("is_snap").cast("long")).as("ns"),
+        sum((!col("is_snap")).cast("long")).as("nd"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(inc.toSeq == full.toSeq,
+      "incremental maintenance must reproduce the full CC exactly")
+    // attribution partitions every doc, and the merge path is live:
+    // some cluster must mix snapshot and delta members
+    inc.foreach { case (_, n, ns, nd) => assert(ns + nd == n) }
+    assert(inc.exists { case (_, _, ns, nd) => ns > 0 && nd > 0 },
+      "no cluster mixes snapshot and delta docs — merge path untested")
+  }
 }

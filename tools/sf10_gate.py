@@ -114,6 +114,9 @@ DEFAULT_SUBSET = [
     "q257_release_diff_audit", "q258_matryoshka_prefix_recall",
     "q259_shard_rebalance_audit", "q260_quantile_view_maintenance",
     "q261_resample_interpolate",
+    # round-8 third wave: incremental CC maintenance (contracted-graph
+    # labels must compose to the full closure at 100x)
+    "q262_incremental_cc_maintenance",
 ]
 
 
