@@ -445,4 +445,31 @@ class PlanSpec extends SparkSpec {
         s"ANALYZE row/NDV stats must shrink the filtered dim under the threshold:\n${after.take(2000)}")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("q246: the hot-key frame is a TakeOrdered — bounded broadcast by construction") {
+    // ADVICE r7 #2: an absolute count cut grows with the key space;
+    // the top-K form plans as TakeOrderedAndProject, so the broadcast
+    // side is <= K rows at ANY corpus size — visible in the plan
+    val s = planString(q("q246_hybrid_skew_join"))
+    assert(s.contains("TakeOrderedAndProject"),
+      s"hot keys must come from a top-K, not a filter:\n${s.take(1500)}")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "hot route must broadcast the bounded dim")
+  }
+
+  test("q258: all four prefix cosines come from ONE probe-corpus scoring pass") {
+    // the audit's cost model: prefix dots share the scan — a plan
+    // with one join per prefix length would scale 4x worse
+    val s = planString(q("q258_matryoshka_prefix_recall"))
+    // the scoring join ran ONCE at localCheckpoint time, so the final
+    // plan must contain NO probe x corpus join at all — every per-d
+    // audit reads the shared materialized scoring RDD instead
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(s).length +
+      "CartesianProduct".r.findAllIn(s).length
+    assert(nlj == 0,
+      s"per-d audits must not re-derive the scoring join, found $nlj:\n${s.take(1500)}")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(s).length
+    assert(rddScans >= 4,
+      s"all four prefix audits must read the checkpointed scoring pass, found $rddScans scans")
+  }
 }
