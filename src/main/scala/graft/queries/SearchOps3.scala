@@ -599,5 +599,122 @@ object SearchOps3 {
       |ORDER BY prefix_dims""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(q244, q247, q254, q258)
+  /** Late-interaction (MaxSim) retrieval — the ColBERT scoring shape:
+    * instead of ONE pooled vector per document, each side keeps a
+    * small set of token sub-vectors and
+    * score(q, d) = Σ_{i ∈ q} max_{j ∈ d} cos(qᵢ, dⱼ) — a query token
+    * matches its best counterpart anywhere in the doc, which pooled
+    * cosine (q48) structurally cannot express. Here the 64-dim
+    * embedding is reshaped into 8 token sub-vectors of 8 dims (the
+    * fixtures carry no real token embeddings; the reshape exercises
+    * the exact operator shape: explode → per-pair cosine → per-token
+    * max → per-doc sum → top-k). Every per-token cosine is rounded
+    * to 6 dp then SCALED TO INTEGER (×10⁶) before max/sum, so the
+    * per-doc score is an exact BIGINT in both engines — a float sum
+    * of 8 rounded maxes is fold-order-dependent and would hash-flake
+    * (the q261 lesson applied preemptively). Output: top-5 per probe
+    * with `in_pooled_top5` marking agreement with plain 64-dim
+    * cosine ranking — the rank disagreement IS the information this
+    * scoring adds. Scale shape: probes broadcast (8 × 8 token rows),
+    * the corpus token explode is a constant ×8, and the scan is one
+    * linear pass; a production deployment fronts it with the q51/q66
+    * candidate generators and MaxSim re-ranks candidates only.
+    */
+  val q263 = Q(
+    "q263_late_interaction_maxsim",
+    (s, dir) => {
+      def toks(df: DataFrame, idc: String, tc: String, vc: String,
+          nc: String): DataFrame =
+        df.select(col("vec_id").as(idc),
+            explode(sequence(lit(0), lit(7))).as(tc),
+            col("embedding"))
+          .withColumn(vc, expr(s"slice(embedding, $tc * 8 + 1, 8)"))
+          .select(col(idc), col(tc), col(vc),
+            V.norm(vc).as(nc))
+      val vecs = emb(s, dir).select("vec_id", "embedding")
+        .localCheckpoint(true) // feeds tokens + the pooled audit
+      val probeToks = toks(vecs.filter(col("vec_id") < 8),
+        "query_id", "qt", "qsv", "qn")
+      val corpusToks = toks(vecs, "doc_id", "dt", "dsv", "dn")
+      val scored = corpusToks.crossJoin(broadcast(probeToks))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("e6",
+          round(round(V.dot("qsv", "dsv") / (col("qn") * col("dn")), 6)
+            * 1000000).cast("long"))
+        .groupBy("query_id", "doc_id", "qt")
+        .agg(max(col("e6")).as("m6"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("m6")).as("maxsim_e6"))
+      val top = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("maxsim_e6").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+      val pooled = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          V.norm("qe").as("pqn"))
+        .crossJoin(vecs.select(col("vec_id").as("doc_id"),
+          col("embedding").as("de"), V.norm("de").as("pdn")))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy("query_id").orderBy(
+            round(V.dot("qe", "de") / (col("pqn") * col("pdn")), 6).desc,
+            col("doc_id"))))
+        .filter(col("rr") <= 5).select("query_id", "doc_id")
+      top.join(pooled.withColumn("inp", lit(1)),
+          Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("maxsim_e6"),
+          coalesce(col("inp"), lit(0)).as("in_pooled_top5"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def toksSql(src: String): String =
+        s"""SELECT vec_id, t,
+           |    embedding[CAST(t * 8 + 1 AS INTEGER):CAST(t * 8 + 8 AS INTEGER)] AS sv
+           |  FROM ($src) CROSS JOIN (SELECT unnest(range(8)) AS t) ts"""
+          .stripMargin
+      s"""WITH pt AS (
+      |  SELECT vec_id AS query_id, t AS qt, sv AS qsv,
+      |    ${V.normSql("sv")} AS qn
+      |  FROM (${toksSql("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8")})),
+      |ct AS (
+      |  SELECT vec_id AS doc_id, t AS dt, sv AS dsv,
+      |    ${V.normSql("sv")} AS dn
+      |  FROM (${toksSql("SELECT vec_id, embedding FROM embeddings")})),
+      |scored AS MATERIALIZED (
+      |  SELECT query_id, doc_id,
+      |    CAST(sum(m6) AS BIGINT) AS maxsim_e6
+      |  FROM (
+      |    SELECT query_id, doc_id, qt,
+      |      max(CAST(round(round(${V.dotSql("qsv", "dsv")} / (qn * dn), 6)
+      |        * 1000000, 0) AS BIGINT)) AS m6
+      |    FROM ct CROSS JOIN pt
+      |    WHERE doc_id <> query_id
+      |    GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT query_id, doc_id, maxsim_e6,
+      |    CAST(rnk AS INTEGER) AS rank FROM (
+      |    SELECT query_id, doc_id, maxsim_e6, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY maxsim_e6 DESC, doc_id) AS rnk
+      |    FROM scored)
+      |  WHERE rnk <= 5),
+      |pooled AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT q.vec_id AS query_id, d.vec_id AS doc_id, row_number() OVER (
+      |      PARTITION BY q.vec_id ORDER BY
+      |        round(${V.dotSql("q.embedding", "d.embedding")} /
+      |          (${V.normSql("q.embedding")} * ${V.normSql("d.embedding")}), 6)
+      |          DESC, d.vec_id) AS rr
+      |    FROM embeddings q CROSS JOIN embeddings d
+      |    WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id)
+      |  WHERE rr <= 5)
+      |SELECT t.query_id, t.rank, t.doc_id, t.maxsim_e6,
+      |  CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_pooled_top5
+      |FROM top t LEFT JOIN pooled p
+      |  ON p.query_id = t.query_id AND p.doc_id = t.doc_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q244, q247, q254, q258, q263)
 }

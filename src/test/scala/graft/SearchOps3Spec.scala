@@ -137,4 +137,34 @@ class SearchOps3Spec extends SparkSpec {
       assert(r.getDouble(r.fieldIndex("recall5")) == rec)
     }
   }
+
+  test("q263 MaxSim equals a driver recompute in exact scaled integers") {
+    val rows = Q.byName("q263_late_interaction_maxsim").fn(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val vs = vecs()
+    def sub(v: Array[Float], t: Int): Array[Float] =
+      v.slice(t * 8, t * 8 + 8)
+    def e6(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (c * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val byId = vs.toMap
+    val want = vs.map(_._1).filter(_ < 8).flatMap { q =>
+      val scores = vs.filter(_._1 != q).map { case (d, dv) =>
+        val ms = (0 to 7).map(t =>
+          (0 to 7).map(u => e6(sub(byId(q), t), sub(dv, u))).max).sum
+        (d, ms)
+      }.sortBy { case (d, ms) => (-ms, d) }.take(5)
+      scores.zipWithIndex.map { case ((d, ms), i) => (q, i + 1, d, ms) }
+    }
+    assert(rows.toSeq == want.toSeq,
+      s"MaxSim diverged: got ${rows.take(3).toSeq} want ${want.take(3).toSeq}")
+  }
 }

@@ -117,6 +117,7 @@ DEFAULT_SUBSET = [
     # round-8 third wave: incremental CC maintenance (contracted-graph
     # labels must compose to the full closure at 100x)
     "q262_incremental_cc_maintenance",
+    "q263_late_interaction_maxsim",
 ]
 
 
