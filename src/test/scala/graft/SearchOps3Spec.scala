@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Driver recomputes for the round-7 ANN-construction wave
-  * (q244/q247).
+/** Driver recomputes for the ANN-construction and retrieval waves
+  * (q244/q247 round 7; q254/q258/q263 round 8).
   */
 class SearchOps3Spec extends SparkSpec {
 
