@@ -23,8 +23,13 @@ object ReleaseOps {
     * source: previous/current cardinality, added / removed / changed
     * / identical counts, and churn = (added+removed+changed)/current
     * — the number a release gate thresholds before promoting a
-    * snapshot. Scale shape: one hash-partitioned join keyed by
-    * doc_id, one aggregation; both linear.
+    * snapshot. Churn is emitted in INTEGER BASIS POINTS
+    * (churn·10000 floor-divided, exact BIGINT in both engines) —
+    * a round()ed double quotient over a fixture-sized denominator
+    * can tie at .xxxx5 where Spark's HALF_UP and DuckDB's
+    * binary-double rounding diverge (ADVICE r8 #2). Scale shape: one
+    * hash-partitioned join keyed by doc_id, one aggregation; both
+    * linear.
     */
   val q257 = Q(
     "q257_release_diff_audit",
@@ -58,10 +63,8 @@ object ReleaseOps {
             .as("n_curr"),
           col("n_added"), col("n_removed"), col("n_changed"),
           col("n_identical"),
-          round((col("n_added") + col("n_removed") + col("n_changed"))
-            .cast("double") /
-            (col("n_added") + col("n_changed") + col("n_identical")), 4)
-            .as("churn_pct"))
+          expr("""(n_added + n_removed + n_changed) * 10000
+            div (n_added + n_changed + n_identical)""").as("churn_bps"))
         .orderBy("source")
     },
     Some("""WITH prev AS (
@@ -94,8 +97,8 @@ object ReleaseOps {
       |  n_removed + n_changed + n_identical AS n_prev,
       |  n_added + n_changed + n_identical AS n_curr,
       |  n_added, n_removed, n_changed, n_identical,
-      |  round(CAST(n_added + n_removed + n_changed AS DOUBLE) /
-      |    (n_added + n_changed + n_identical), 4) AS churn_pct
+      |  (n_added + n_removed + n_changed) * 10000
+      |    // (n_added + n_changed + n_identical) AS churn_bps
       |FROM g ORDER BY source""".stripMargin))
 
   val all: Vector[Q] = Vector(q257)

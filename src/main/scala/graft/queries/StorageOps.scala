@@ -153,6 +153,17 @@ object StorageOps {
     * the result. `n_bins` exposes
     * the stored artifact's size — a few hundred rows per key at ANY
     * corpus scale, which is the whole point.
+    *
+    * Arithmetic (ADVICE r8 #1): everything runs in INTEGER CENTS.
+    * The exact reference median is NOT percentile()+round(2) — with
+    * an even group count the interpolated median is the midpoint of
+    * two 2-dp values, a systematic .xx5 tie where Spark's
+    * shortest-decimal HALF_UP rounding and DuckDB's binary-double
+    * rounding diverge (the q261 flake class). Instead the two middle
+    * order statistics clo/chi are taken rank-based from a
+    * (pr, cents) histogram (the blo/bhi pattern one level finer) and
+    * the median is emitted as ONE IEEE division (clo+chi)/200.0 —
+    * exact integers in, one deterministic double op out.
     */
   val q260 = Q(
     "q260_quantile_view_maintenance",
@@ -160,28 +171,36 @@ object StorageOps {
       val cut = to_date(lit("1997-07-01"))
       val keyed = Tables.t(s, dir, "orders")
         .select(col("o_orderpriority").as("pr"),
-          col("o_totalprice").cast("double").as("v"),
+          (col("o_totalprice").cast("decimal(18,4)") * 100)
+            .cast("long").as("cts"), // exact integer cents
           (col("o_orderdate") < cut).as("is_snap"))
         .localCheckpoint(true) // one fact scan feeds histogram + exact
       val halves = keyed
         .select(col("pr"), col("is_snap"),
-          floor(col("v") / 2000).cast("long").as("bin"))
+          expr("cts div 200000").as("bin")) // 2000-dollar bins, exact
         .groupBy("pr", "is_snap", "bin")
         .agg(count(lit(1)).as("c")) // the stored per-half artifact
       val merged = halves.groupBy("pr", "bin").agg(sum(col("c")).as("c"))
       val tot = merged.groupBy("pr").agg(sum(col("c")).as("n"),
         count(lit(1)).as("n_bins"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("pr")
       val cum = merged
-        .withColumn("cum", sum("c").over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("pr").orderBy("bin")))
+        .withColumn("cum", sum("c").over(w.orderBy("bin")))
         .join(tot, "pr")
       val lo = cum.filter(col("cum") >= expr("(n + 1) div 2"))
         .groupBy("pr").agg(min("bin").as("blo"))
       val hi = cum.filter(col("cum") >= expr("n div 2 + 1"))
         .groupBy("pr").agg(min("bin").as("bhi"))
-      val exact = keyed.groupBy("pr")
-        .agg(round(expr("percentile(v, 0.5)"), 2).as("exact_median"))
+      val vcum = keyed.groupBy("pr", "cts").agg(count(lit(1)).as("vc"))
+        .withColumn("vcum", sum("vc").over(w.orderBy("cts")))
+        .join(tot.select("pr", "n"), "pr")
+      val clo = vcum.filter(col("vcum") >= expr("(n + 1) div 2"))
+        .groupBy("pr").agg(min("cts").as("clo"))
+      val chi = vcum.filter(col("vcum") >= expr("n div 2 + 1"))
+        .groupBy("pr").agg(min("cts").as("chi"))
+      val exact = clo.join(chi, "pr")
+        .select(col("pr"), ((col("clo") + col("chi")).cast("double") / 200.0)
+          .as("exact_median"))
       lo.join(hi, "pr").join(exact, "pr")
         .join(tot.select("pr", "n_bins"), "pr")
         .select(col("pr").as("o_orderpriority"), col("exact_median"),
@@ -192,10 +211,11 @@ object StorageOps {
         .orderBy("o_orderpriority")
     },
     Some("""WITH k AS (
-      |  SELECT o_orderpriority AS pr, CAST(o_totalprice AS DOUBLE) AS v
+      |  SELECT o_orderpriority AS pr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cts
       |  FROM orders),
       |hist AS (
-      |  SELECT pr, CAST(floor(v / 2000) AS BIGINT) AS bin, count(*) AS c
+      |  SELECT pr, cts // 200000 AS bin, count(*) AS c
       |  FROM k GROUP BY 1, 2),
       |tot AS (
       |  SELECT pr, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_bins
@@ -211,9 +231,21 @@ object StorageOps {
       |  SELECT pr, min(bin) AS bhi
       |  FROM cum JOIN tot USING (pr) WHERE cum >= n // 2 + 1
       |  GROUP BY pr),
+      |vg AS (SELECT pr, cts, count(*) AS vc FROM k GROUP BY 1, 2),
+      |vcum AS (
+      |  SELECT pr, cts, sum(vc) OVER (PARTITION BY pr ORDER BY cts) AS vcum
+      |  FROM vg),
+      |clo AS (
+      |  SELECT pr, min(cts) AS clo
+      |  FROM vcum JOIN tot USING (pr) WHERE vcum >= (n + 1) // 2
+      |  GROUP BY pr),
+      |chi AS (
+      |  SELECT pr, min(cts) AS chi
+      |  FROM vcum JOIN tot USING (pr) WHERE vcum >= n // 2 + 1
+      |  GROUP BY pr),
       |ex AS (
-      |  SELECT pr, round(quantile_cont(v, 0.5), 2) AS exact_median
-      |  FROM k GROUP BY pr)
+      |  SELECT pr, CAST(clo + chi AS DOUBLE) / 200.0 AS exact_median
+      |  FROM clo JOIN chi USING (pr))
       |SELECT pr AS o_orderpriority, exact_median,
       |  CAST((blo + bhi + 1.0) * 1000 AS DOUBLE) AS est_median,
       |  abs((blo + bhi + 1.0) * 1000 - exact_median) <= 1000 AS within_bin,

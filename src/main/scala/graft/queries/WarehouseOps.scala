@@ -370,12 +370,13 @@ object WarehouseOps {
           sum((col("olds") =!= col("news")).cast("long")).as("n_moved"))
         val skew = assign.groupBy("news").agg(count(lit(1)).as("c"))
           .agg(max("c").as("maxc"), sum("c").as("tot"))
+        // integer basis points, never a round()ed double quotient
+        // over a data-sized denominator (ADVICE r8 #2 — the .xxxx5
+        // Spark-HALF_UP vs DuckDB-binary tie class)
         moved.crossJoin(skew)
           .select(lit(method).as("method"), col("n_docs"), col("n_moved"),
-            round(col("n_moved").cast("double") / col("n_docs"), 4)
-              .as("moved_pct"),
-            round(col("maxc").cast("double") / col("tot"), 4)
-              .as("max_shard_pct"))
+            expr("n_moved * 10000 div n_docs").as("moved_bps"),
+            expr("maxc * 10000 div tot").as("max_shard_bps"))
       }
       val h = P.md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
       val modA = docs.select(pmod(h, lit(8)).as("olds"),
@@ -419,8 +420,8 @@ object WarehouseOps {
       |    (SELECT max(c) FROM (SELECT count(*) AS c FROM hrw_assign
       |       GROUP BY news)))
       |SELECT method, n_docs, n_moved,
-      |  round(CAST(n_moved AS DOUBLE) / n_docs, 4) AS moved_pct,
-      |  round(CAST(maxc AS DOUBLE) / n_docs, 4) AS max_shard_pct
+      |  n_moved * 10000 // n_docs AS moved_bps,
+      |  maxc * 10000 // n_docs AS max_shard_bps
       |FROM audits ORDER BY method""".stripMargin))
 
   val all: Vector[Q] = Vector(q242, q243, q245, q246, q259)

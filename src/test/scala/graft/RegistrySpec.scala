@@ -32,6 +32,19 @@ class RegistrySpec extends SparkSpec {
       s"README says ${m.group(2)} oracle-checked, registry has $oracled")
   }
 
+  test("COVERAGE.md names every registry query (doc drift fails here)") {
+    // README counts are pinned above; COVERAGE rows were unguarded
+    // and drifted in r7 (VERDICT r8 #7). Every registry query's qNN
+    // id must appear somewhere in COVERAGE.md.
+    val coverage = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val ids = """q\d+[a-z]?""".r.findAllIn(coverage).toSet
+    val missing = Q.registry.map(_.name.split("_")(0)).filterNot(ids)
+    assert(missing.isEmpty,
+      s"registry queries missing from COVERAGE.md: ${missing.mkString(", ")}")
+  }
+
   test("entry flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
