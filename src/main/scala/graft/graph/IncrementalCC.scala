@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delete-aware incremental connected-components maintenance
+  * (VERDICT r8 #4) — the missing half of q262's insert-only IVM:
+  * real dedup state also absorbs takedowns, and deletions break
+  * min-label composition two ways q262's contraction cannot express:
+  * the removed edges' component label may BE a removed node (the
+  * label carrier vanishes), and removing a cut edge SPLITS a
+  * component into pieces no label merge can produce.
+  *
+  * The scale-correct shape: deletions can only split components
+  * (never merge them), and a surviving component lies wholly inside
+  * ONE snapshot component — so only components that actually LOST an
+  * edge need relabelling. The refresh (1) diffs the stored edge set
+  * against the surviving edge set, (2) marks the snapshot components
+  * incident to a lost edge as affected, (3) re-runs CC over ONLY the
+  * surviving edges of affected components, and (4) composes: nodes
+  * in unaffected components keep their stored label verbatim.
+  * Refresh cost is Θ(lost edges + affected components), never
+  * Θ(corpus) — the q241/q255/q260/q262 IVM contract extended to
+  * removals. An edge shared by a removed and a surviving document is
+  * NOT lost, so such a takedown triggers no recompute at all — the
+  * diff, not the takedown list, decides.
+  *
+  * Correctness: unaffected components have an unchanged edge set, so
+  * the full recompute reproduces their stored min-node label
+  * exactly; affected components are recomputed from scratch over
+  * their surviving edges, which is BY DEFINITION what the full
+  * recompute does there (GraphOps2Spec pins a label-carrier removal
+  * and a component split; q264's oracle is the full recursive
+  * closure over the surviving edge set).
+  */
+object IncrementalCC {
+
+  /** @param snapEdges the stored snapshot edge set (long cols `a`,`b`)
+    * @param survEdges the surviving edge set after deletions — must
+    *                  be a SUBSET of `snapEdges` (same normalization)
+    * @return one row per surviving node:
+    *         (node, component, was_affected) where component is the
+    *         min surviving node id of its component and was_affected
+    *         marks nodes whose snapshot component lost an edge
+    */
+  def withDeletions(snapEdges: DataFrame, survEdges: DataFrame): DataFrame = {
+    // stored state: in production this frame is persisted at
+    // snapshot-build time and read back here; recomputing it in the
+    // operator keeps the query self-contained (q262's convention)
+    val snap = ConnectedComponents.run(snapEdges).localCheckpoint(true)
+    val lost = snapEdges.exceptAll(survEdges)
+    val affected = lost
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+      .join(snap, "node")
+      .select(col("component").as("aff")).distinct()
+      .localCheckpoint(true) // bounded by #touched components
+    // surviving edges inside affected components; both endpoints of
+    // a snapshot edge share a label, so tagging via `a` suffices
+    val inAffected = survEdges
+      .join(snap.select(col("node").as("a"), col("component").as("ca")), "a")
+      .join(affected, col("ca") === col("aff"), "left_semi")
+      .select("a", "b")
+    val recomp = ConnectedComponents.run(inAffected)
+    val survNodes = survEdges
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+    survNodes
+      .join(snap, Seq("node")) // every surviving node was in the snapshot
+      .join(broadcast(affected), col("component") === col("aff"), "left")
+      .join(recomp.select(col("node"), col("component").as("newc")),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("aff").isNotNull, col("newc"))
+          .otherwise(col("component")).as("component"),
+        col("aff").isNotNull.as("was_affected"))
+  }
+}

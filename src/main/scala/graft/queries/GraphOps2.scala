@@ -214,19 +214,52 @@ object GraphOps2 {
     * same invariant StorageSpec pins for q241. The snapshot split is
     * q257's release framing (doc_id % 7 == 3 arrives in the delta).
     */
+  /** Shared oracle prefix for the q262/q264 band graph: per-doc
+    * MinHash band buckets (2 bands × 8 hashes, q100's parameters) as
+    * CTEs `toks → ex → mh → db(doc_id, b0, b1)`.
+    */
+  private def bandCtesSql: String = {
+    import graft.functions.{Portable => P}
+    s"""toks AS (
+    |  SELECT doc_id, ${P.tokenSetSql("text")} AS toks FROM documents),
+    |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    |mh AS (
+    |  SELECT doc_id, seed, min(${P.md5LongSql("concat(seed, ':', tok)")}) AS minh
+    |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    |  GROUP BY 1, 2),
+    |db AS (
+    |  SELECT doc_id,
+    |    min(CASE WHEN band = 0 THEN bucket END) AS b0,
+    |    min(CASE WHEN band = 1 THEN bucket END) AS b1
+    |  FROM (
+    |    SELECT doc_id, seed // 8 AS band,
+    |      ${P.md5LongSql("concat(seed // 8, '|', string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)))")} AS bucket
+    |    FROM mh GROUP BY doc_id, seed // 8)
+    |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Shared engine prefix: per-doc band nodes (b0, b1) for the
+    * near-dup band graph, plus a deterministic per-doc flag column.
+    */
+  private def bandFrame(s: SparkSession, dir: String,
+      flagName: String, flag: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.{Portable => P}
+    graft.functions.MinHashBands.register(s)
+    Tables.docs(s, dir)
+      .select(col("doc_id"), P.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
+      .select(col("doc_id"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"),
+        flag.as(flagName))
+      .localCheckpoint(true)
+  }
+
   val q262 = Q(
     "q262_incremental_cc_maintenance",
     (s, dir) => {
-      import graft.functions.{Portable => P}
-      graft.functions.MinHashBands.register(s)
-      val db = Tables.docs(s, dir)
-        .select(col("doc_id"), P.tokenSet(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 1)
-        .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
-        .select(col("doc_id"),
-          col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"),
-          (pmod(col("doc_id"), lit(7)) =!= 3).as("is_snap"))
-        .localCheckpoint(true) // feeds snapshot CC, delta contraction, final join
+      // pinned frame feeds snapshot CC, delta contraction, final join
+      val db = bandFrame(s, dir, "is_snap", pmod(col("doc_id"), lit(7)) =!= 3)
       // stored snapshot state: (band node -> component min-node label)
       val snapComp = graft.graph.ConnectedComponents.run(
         db.filter(col("is_snap"))
@@ -262,23 +295,7 @@ object GraphOps2 {
         .orderBy("cluster")
     },
     Some {
-      import graft.functions.{Portable => P}
-      s"""WITH RECURSIVE toks AS (
-      |  SELECT doc_id, ${P.tokenSetSql("text")} AS toks FROM documents),
-      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
-      |mh AS (
-      |  SELECT doc_id, seed, min(${P.md5LongSql("concat(seed, ':', tok)")}) AS minh
-      |  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-      |  GROUP BY 1, 2),
-      |db AS (
-      |  SELECT doc_id,
-      |    min(CASE WHEN band = 0 THEN bucket END) AS b0,
-      |    min(CASE WHEN band = 1 THEN bucket END) AS b1
-      |  FROM (
-      |    SELECT doc_id, seed // 8 AS band,
-      |      ${P.md5LongSql("concat(seed // 8, '|', string_agg(concat(seed, ':', minh), ',' ORDER BY concat(seed, ':', minh)))")} AS bucket
-      |    FROM mh GROUP BY doc_id, seed // 8)
-      |  GROUP BY doc_id),
+      s"""WITH RECURSIVE $bandCtesSql,
       |dbf AS (SELECT doc_id, b0, b1, doc_id % 7 <> 3 AS is_snap FROM db),
       |edges AS (SELECT b0 AS a, b1 AS b FROM dbf UNION SELECT b1, b0 FROM dbf),
       |nodes AS (SELECT DISTINCT b0 AS node FROM dbf UNION SELECT DISTINCT b1 FROM dbf),
@@ -295,5 +312,79 @@ object GraphOps2 {
       |ORDER BY cluster""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(q220, q221, q262)
+  /** DELETE-aware incremental CC maintenance (VERDICT r8 #4) — the
+    * takedown half of the graph-IVM pair: q262 absorbs INSERT deltas
+    * by contracting new edges onto stored labels, but deletions
+    * break that composition (the removed node may BE a component's
+    * label, or a cut edge whose loss SPLITS the component). The
+    * refresh lives in [[graft.graph.IncrementalCC.withDeletions]]:
+    * diff stored vs surviving edge sets, mark snapshot components
+    * that lost an edge, re-run CC over ONLY those components'
+    * surviving edges, keep every other stored label verbatim —
+    * Θ(lost + touched components), never Θ(corpus). Takedown cohort:
+    * doc_id % 13 == 4 (~7.7%). Output: q100-convention clusters over
+    * the surviving corpus with `was_affected` marking relabelled
+    * components — the refresh's cost attribution. Oracle: the FULL
+    * recursive closure over the surviving edge set (the q262
+    * invariant: incremental == full recompute, exactly), with the
+    * affected flag recomputed from the snapshot closure + lost-edge
+    * diff. GraphOps2Spec pins the two hazard shapes synthetically:
+    * a label-carrier removal and a component split.
+    */
+  val q264 = Q(
+    "q264_cc_delete_maintenance",
+    (s, dir) => {
+      val db = bandFrame(s, dir, "removed", pmod(col("doc_id"), lit(13)) === 4)
+      def edges(df: DataFrame) = df
+        .select(least(col("b0"), col("b1")).as("a"),
+          greatest(col("b0"), col("b1")).as("b"))
+        .distinct()
+      val lab = graft.graph.IncrementalCC.withDeletions(
+        edges(db), edges(db.filter(!col("removed"))))
+      db.filter(!col("removed"))
+        .join(lab, db("b0") === lab("node"))
+        .groupBy("component")
+        .agg(min("doc_id").as("cluster"), count(lit(1)).as("n_docs"),
+          bool_or(col("was_affected")).as("was_affected"))
+        .select("cluster", "n_docs", "was_affected")
+        .orderBy("cluster")
+    },
+    Some {
+      s"""WITH RECURSIVE $bandCtesSql,
+      |dbf AS (SELECT doc_id, b0, b1, doc_id % 13 = 4 AS removed FROM db),
+      |sedge AS (SELECT DISTINCT least(b0, b1) AS a, greatest(b0, b1) AS b
+      |          FROM dbf),
+      |vedge AS (SELECT DISTINCT least(b0, b1) AS a, greatest(b0, b1) AS b
+      |          FROM dbf WHERE NOT removed),
+      |snodes AS (SELECT DISTINCT a AS node FROM sedge
+      |           UNION SELECT DISTINCT b FROM sedge),
+      |sed2 AS (SELECT a, b FROM sedge UNION SELECT b, a FROM sedge),
+      |sreach AS (
+      |  SELECT node, node AS lab FROM snodes
+      |  UNION
+      |  SELECT e.a AS node, r.lab FROM sed2 e JOIN sreach r ON r.node = e.b),
+      |scomp AS (SELECT node, min(lab) AS cl FROM sreach GROUP BY node),
+      |lost AS (SELECT a, b FROM sedge s WHERE NOT EXISTS (
+      |          SELECT 1 FROM vedge v WHERE v.a = s.a AND v.b = s.b)),
+      |aff AS (SELECT DISTINCT cl FROM scomp WHERE node IN
+      |          (SELECT a FROM lost UNION SELECT b FROM lost)),
+      |vnodes AS (SELECT DISTINCT a AS node FROM vedge
+      |           UNION SELECT DISTINCT b FROM vedge),
+      |ved2 AS (SELECT a, b FROM vedge UNION SELECT b, a FROM vedge),
+      |vreach AS (
+      |  SELECT node, node AS lab FROM vnodes
+      |  UNION
+      |  SELECT e.a AS node, r.lab FROM ved2 e JOIN vreach r ON r.node = e.b),
+      |vcomp AS (SELECT node, min(lab) AS cl FROM vreach GROUP BY node)
+      |SELECT min(doc_id) AS cluster, count(*) AS n_docs,
+      |  bool_or(sc.cl IN (SELECT cl FROM aff)) AS was_affected
+      |FROM dbf
+      |  JOIN vcomp v ON dbf.b0 = v.node
+      |  JOIN scomp sc ON dbf.b0 = sc.node
+      |WHERE NOT removed
+      |GROUP BY v.cl
+      |ORDER BY cluster""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q220, q221, q262, q264)
 }

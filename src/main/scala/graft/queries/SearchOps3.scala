@@ -27,6 +27,39 @@ object SearchOps3 {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.t(s, dir, "embeddings")
 
+  /** MaxSim token reshape (q263/q265): 64-dim embedding → 8 token
+    * sub-vectors of 8 dims, with per-sub-vector norms.
+    */
+  private def maxsimToks(df: DataFrame, idc: String, tc: String,
+      vc: String, nc: String): DataFrame =
+    df.select(col("vec_id").as(idc),
+        explode(sequence(lit(0), lit(7))).as(tc),
+        col("embedding"))
+      .withColumn(vc, expr(s"slice(embedding, $tc * 8 + 1, 8)"))
+      .select(col(idc), col(tc), col(vc), V.norm(vc).as(nc))
+
+  /** DuckDB twin of [[maxsimToks]]. */
+  private def maxsimToksSql(src: String): String =
+    s"""SELECT vec_id, t,
+       |    embedding[CAST(t * 8 + 1 AS INTEGER):CAST(t * 8 + 8 AS INTEGER)] AS sv
+       |  FROM ($src) CROSS JOIN (SELECT unnest(range(8)) AS t) ts"""
+      .stripMargin
+
+  /** Integer-exact MaxSim over (query token × doc token) rows: each
+    * cosine is rounded to 6 dp then scaled to ×10⁶ BIGINT BEFORE
+    * max/sum, so the per-doc score is exact in both engines (q263's
+    * fold-order-proofing).
+    */
+  private def maxsimScore(pairToks: DataFrame): DataFrame =
+    pairToks
+      .withColumn("e6",
+        round(round(V.dot("qsv", "dsv") / (col("qn") * col("dn")), 6)
+          * 1000000).cast("long"))
+      .groupBy("query_id", "doc_id", "qt")
+      .agg(max(col("e6")).as("m6"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("m6")).as("maxsim_e6"))
+
   /** One NN-descent refinement round over a random-block kNN seed
     * graph (Dong et al., WWW'11 — the construction step behind
     * graph ANN indexes like HNSW/NSG, here in its
@@ -623,28 +656,13 @@ object SearchOps3 {
   val q263 = Q(
     "q263_late_interaction_maxsim",
     (s, dir) => {
-      def toks(df: DataFrame, idc: String, tc: String, vc: String,
-          nc: String): DataFrame =
-        df.select(col("vec_id").as(idc),
-            explode(sequence(lit(0), lit(7))).as(tc),
-            col("embedding"))
-          .withColumn(vc, expr(s"slice(embedding, $tc * 8 + 1, 8)"))
-          .select(col(idc), col(tc), col(vc),
-            V.norm(vc).as(nc))
       val vecs = emb(s, dir).select("vec_id", "embedding")
         .localCheckpoint(true) // feeds tokens + the pooled audit
-      val probeToks = toks(vecs.filter(col("vec_id") < 8),
+      val probeToks = maxsimToks(vecs.filter(col("vec_id") < 8),
         "query_id", "qt", "qsv", "qn")
-      val corpusToks = toks(vecs, "doc_id", "dt", "dsv", "dn")
-      val scored = corpusToks.crossJoin(broadcast(probeToks))
-        .filter(col("doc_id") =!= col("query_id"))
-        .withColumn("e6",
-          round(round(V.dot("qsv", "dsv") / (col("qn") * col("dn")), 6)
-            * 1000000).cast("long"))
-        .groupBy("query_id", "doc_id", "qt")
-        .agg(max(col("e6")).as("m6"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("m6")).as("maxsim_e6"))
+      val corpusToks = maxsimToks(vecs, "doc_id", "dt", "dsv", "dn")
+      val scored = maxsimScore(corpusToks.crossJoin(broadcast(probeToks))
+        .filter(col("doc_id") =!= col("query_id")))
       val top = scored.withColumn("rank", row_number().over(
           Window.partitionBy("query_id")
             .orderBy(col("maxsim_e6").desc, col("doc_id"))))
@@ -668,19 +686,14 @@ object SearchOps3 {
         .orderBy("query_id", "rank")
     },
     Some {
-      def toksSql(src: String): String =
-        s"""SELECT vec_id, t,
-           |    embedding[CAST(t * 8 + 1 AS INTEGER):CAST(t * 8 + 8 AS INTEGER)] AS sv
-           |  FROM ($src) CROSS JOIN (SELECT unnest(range(8)) AS t) ts"""
-          .stripMargin
       s"""WITH pt AS (
       |  SELECT vec_id AS query_id, t AS qt, sv AS qsv,
       |    ${V.normSql("sv")} AS qn
-      |  FROM (${toksSql("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8")})),
+      |  FROM (${maxsimToksSql("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8")})),
       |ct AS (
       |  SELECT vec_id AS doc_id, t AS dt, sv AS dsv,
       |    ${V.normSql("sv")} AS dn
-      |  FROM (${toksSql("SELECT vec_id, embedding FROM embeddings")})),
+      |  FROM (${maxsimToksSql("SELECT vec_id, embedding FROM embeddings")})),
       |scored AS MATERIALIZED (
       |  SELECT query_id, doc_id,
       |    CAST(sum(m6) AS BIGINT) AS maxsim_e6
@@ -716,5 +729,166 @@ object SearchOps3 {
       |ORDER BY t.query_id, t.rank""".stripMargin
     })
 
-  val all: Vector[Q] = Vector(q244, q247, q254, q258, q263)
+  /** Per-token-sub-vector LSH bucket (8 md5-derived hyperplanes over
+    * the 8 sub-vector dims, seed family "tp:" so the planes are
+    * independent of q51's pooled "hp:" family) — the ColBERT index
+    * unit: late-interaction retrieval must index TOKENS, not pooled
+    * vectors, because MaxSim's top-k provably disagrees with pooled
+    * cosine (q263's `in_pooled_top5` measured 7.5% overlap — a
+    * pooled candidate stage would front MaxSim with ~0 recall).
+    */
+  private def tokBucket(svCol: String): org.apache.spark.sql.Column = {
+    val planes: Seq[Array[Double]] = (0 to 7).map { p =>
+      (1 to 8).map { d =>
+        (graft.functions.Md5Long60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"tp:$p:$d"))
+          % 2001 - 1000) / 1000.0
+      }.toArray
+    }
+    planes.zipWithIndex.map { case (w, p) =>
+      when(graft.functions.VecMath.dotCol(col(svCol), lit(w)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[tokBucket]] (same planes, same fold). */
+  private def tokBucketSql(svCol: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), p ->
+       |      CASE WHEN list_sum(list_transform(
+       |        list_zip($svCol,
+       |          list_transform(range(1, 9), d ->
+       |            (${P.md5LongSql("concat('tp:', p, ':', d)")}
+       |              % 2001 - 1000) / 1000.0)),
+       |        x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+       |      THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** END-TO-END retrieval cascade (VERDICT r8 #5): ANN candidate
+    * generation → late-interaction MaxSim re-rank — the production
+    * deployment q263's own scaladoc promises. Stage 1 indexes at the
+    * TOKEN level ([[tokBucket]]): every doc token sub-vector gets an
+    * 8-bit hyperplane bucket, every query token probes its own
+    * bucket, and a doc becomes a candidate when ANY of its tokens
+    * shares a bucket with ANY query token — the ColBERT index shape,
+    * required because MaxSim's ranking provably disagrees with
+    * pooled cosine (q263 measured 7.5% top-5 overlap; a pooled-LSH
+    * candidate stage measured recall ≈ 0 here before this was
+    * rebuilt token-level). Candidate volume per query is the probed
+    * buckets' occupancy (≤ 8 tokens × bucket size ≈ 8n/256 doc
+    * tokens) — bucket-bounded, never a per-query corpus scan. Stage
+    * 2 re-scores ONLY those candidates with the exact integer-scaled
+    * MaxSim (shared [[maxsimScore]] kernel) and keeps the top-5. The
+    * audit rides in the output (q146/q235 discipline): `recall5`
+    * compares against the EXACT full-corpus MaxSim top-5 (the
+    * ground-truth pass — bounded: 8 probes × corpus — is audit
+    * cost, not cascade cost) and `n_cand` exposes each query's
+    * candidate volume, so the index's quality/cost tradeoff is IN
+    * the result. At 100 TB the cascade is one bucket-equality join +
+    * Θ(candidates) token scoring per query batch; q263's brute-force
+    * stage is gone.
+    */
+  val q265 = Q(
+    "q265_cascade_ann_maxsim",
+    (s, dir) => {
+      val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true) // feeds token explode + audit
+      val probeToks = maxsimToks(vecs.filter(col("vec_id") < 8),
+        "query_id", "qt", "qsv", "qn")
+      val corpusToks = maxsimToks(vecs, "doc_id", "dt", "dsv", "dn")
+        .localCheckpoint(true) // feeds buckets, candidate scoring, audit
+      // token-level index: distinct (doc, bucket) posting pairs join
+      // distinct (query, bucket) probes on bucket EQUALITY
+      val postings = corpusToks
+        .select(col("doc_id"), tokBucket("dsv").as("bk")).distinct()
+      val qprobes = probeToks
+        .select(col("query_id"), tokBucket("qsv").as("bk")).distinct()
+      val cand = postings.join(broadcast(qprobes), "bk")
+        .filter(col("doc_id") =!= col("query_id"))
+        .select("query_id", "doc_id").distinct()
+      val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("maxsim_e6").desc, col("doc_id"))
+      val approxTop = maxsimScore(
+          cand.join(corpusToks, "doc_id").join(broadcast(probeToks), "query_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val exactTop = maxsimScore(corpusToks.crossJoin(broadcast(probeToks))
+          .filter(col("doc_id") =!= col("query_id")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 5).select("query_id", "doc_id")
+      val recall = approxTop.select("query_id", "doc_id")
+        .join(exactTop, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id")
+        .agg((count(lit(1)).cast("double") / 5.0).as("recall5"))
+      approxTop
+        .join(broadcast(nCand), "query_id")
+        .join(recall, Seq("query_id"), "left")
+        .select(col("query_id"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("maxsim_e6"), col("n_cand"),
+          coalesce(col("recall5"), lit(0.0)).as("recall5"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      s"""WITH pt AS (
+      |  SELECT vec_id AS query_id, t AS qt, sv AS qsv,
+      |    ${V.normSql("sv")} AS qn
+      |  FROM (${maxsimToksSql("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8")})),
+      |ct AS (
+      |  SELECT vec_id AS doc_id, t AS dt, sv AS dsv,
+      |    ${V.normSql("sv")} AS dn
+      |  FROM (${maxsimToksSql("SELECT vec_id, embedding FROM embeddings")})),
+      |postings AS (
+      |  SELECT DISTINCT doc_id, ${tokBucketSql("dsv")} AS bk FROM ct),
+      |qprobes AS (
+      |  SELECT DISTINCT query_id, ${tokBucketSql("qsv")} AS bk FROM pt),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, c.doc_id
+      |  FROM postings c JOIN qprobes p USING (bk)
+      |  WHERE c.doc_id <> p.query_id),
+      |ncand AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+      |cscore AS MATERIALIZED (
+      |  SELECT query_id, doc_id, CAST(sum(m6) AS BIGINT) AS maxsim_e6
+      |  FROM (
+      |    SELECT c.query_id, c.doc_id, qt,
+      |      max(CAST(round(round(${V.dotSql("qsv", "dsv")} / (qn * dn), 6)
+      |        * 1000000, 0) AS BIGINT)) AS m6
+      |    FROM cand c JOIN ct ON ct.doc_id = c.doc_id
+      |    JOIN pt ON pt.query_id = c.query_id
+      |    GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2),
+      |atop AS (
+      |  SELECT query_id, doc_id, maxsim_e6, CAST(rnk AS INTEGER) AS rank
+      |  FROM (
+      |    SELECT query_id, doc_id, maxsim_e6, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY maxsim_e6 DESC, doc_id) AS rnk
+      |    FROM cscore)
+      |  WHERE rnk <= 5),
+      |escore AS MATERIALIZED (
+      |  SELECT query_id, doc_id, CAST(sum(m6) AS BIGINT) AS maxsim_e6
+      |  FROM (
+      |    SELECT query_id, doc_id, qt,
+      |      max(CAST(round(round(${V.dotSql("qsv", "dsv")} / (qn * dn), 6)
+      |        * 1000000, 0) AS BIGINT)) AS m6
+      |    FROM ct CROSS JOIN pt
+      |    WHERE doc_id <> query_id
+      |    GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2),
+      |etop AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY maxsim_e6 DESC, doc_id) AS rnk
+      |    FROM escore)
+      |  WHERE rnk <= 5),
+      |rec AS (
+      |  SELECT a.query_id, CAST(count(*) AS DOUBLE) / 5.0 AS recall5
+      |  FROM atop a JOIN etop e
+      |    ON e.query_id = a.query_id AND e.doc_id = a.doc_id
+      |  GROUP BY 1)
+      |SELECT a.query_id, a.rank, a.doc_id, a.maxsim_e6, n.n_cand,
+      |  coalesce(r.recall5, 0.0) AS recall5
+      |FROM atop a JOIN ncand n USING (query_id)
+      |LEFT JOIN rec r ON r.query_id = a.query_id
+      |ORDER BY a.query_id, a.rank""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q244, q247, q254, q258, q263, q265)
 }

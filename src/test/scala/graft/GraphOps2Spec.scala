@@ -137,4 +137,49 @@ class GraphOps2Spec extends SparkSpec {
     assert(inc.exists { case (_, _, ns, nd) => ns > 0 && nd > 0 },
       "no cluster mixes snapshot and delta docs — merge path untested")
   }
+
+  test("IncrementalCC deletions: label-carrier removal and component split") {
+    import spark.implicits._
+    // snapshot components: {1,2,3,4} (label 1), {5,6,7} (label 5),
+    // {10,11} (label 10), {20,21} (label 20)
+    val snap = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L),
+      (6L, 7L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    // deletions: (2,3) SPLITS the first component; both edges at 5
+    // remove the LABEL CARRIER of the second; (10,11) erases the
+    // third entirely; {20,21} is untouched
+    val surv = Seq((1L, 2L), (3L, 4L), (6L, 7L), (20L, 21L)).toDF("a", "b")
+    val out = graft.graph.IncrementalCC.withDeletions(snap, surv).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, true)), 2L -> ((1L, true)), // split piece, old label
+      3L -> ((3L, true)), 4L -> ((3L, true)), // split piece, NEW label
+      6L -> ((6L, true)), 7L -> ((6L, true)), // carrier 5 gone -> relabel
+      20L -> ((20L, false)), 21L -> ((20L, false))
+      // 5, 10, 11 have no surviving edges -> absent from the output
+    ), s"got $out")
+  }
+
+  test("q264 delete-aware maintenance == full engine CC over survivors") {
+    val inc = Q.byName("q264_cc_delete_maintenance").fn(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.functions.MinHashBands.register(spark)
+    val db = Tables.docs(spark, sf())
+      .select(col("doc_id"),
+        graft.functions.Portable.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
+      .select(col("doc_id"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
+      .filter(pmod(col("doc_id"), lit(13)) =!= 4) // survivors only
+    val comp = graft.graph.ConnectedComponents.run(
+      db.select(col("b0").as("a"), col("b1").as("b")))
+    val full = db.join(comp, db("b0") === comp("node"))
+      .groupBy("component")
+      .agg(min("doc_id").as("cluster"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(inc.map(r => (r._1, r._2)).toSeq == full.toSeq,
+      "delete-aware maintenance must reproduce the survivor-graph CC")
+    assert(inc.exists(_._3) && inc.exists(!_._3),
+      "fixture must exercise both affected and untouched components")
+  }
 }

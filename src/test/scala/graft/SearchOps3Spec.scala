@@ -167,4 +167,60 @@ class SearchOps3Spec extends SparkSpec {
     assert(rows.toSeq == want.toSeq,
       s"MaxSim diverged: got ${rows.take(3).toSeq} want ${want.take(3).toSeq}")
   }
+
+  test("q265 cascade: candidates, ranks, and recall equal the driver") {
+    val rows = Q.byName("q265_cascade_ann_maxsim").fn(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val vs = vecs()
+    val byId = vs.toMap
+    def sub(v: Array[Float], t: Int): Array[Float] =
+      v.slice(t * 8, t * 8 + 8)
+    def e6(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (c * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def maxsim(q: Array[Float], d: Array[Float]): Long =
+      (0 to 7).map(t => (0 to 7).map(u => e6(sub(q, t), sub(d, u))).max).sum
+    // tokBucket twin: 8 md5 "tp:" planes over the 8 sub-vector dims
+    val planes = (0 to 7).map { p =>
+      (1 to 8).map(d => (h60(s"tp:$p:$d") % 2001 - 1000) / 1000.0).toArray
+    }
+    def buckets(v: Array[Float]): Set[Long] =
+      (0 to 7).map { t =>
+        val sv = sub(v, t)
+        planes.zipWithIndex.map { case (w, p) =>
+          var s = 0.0; var i = 0
+          while (i < 8) { s += sv(i).toDouble * w(i); i += 1 }
+          if (s >= 0) 1L << p else 0L
+        }.sum
+      }.toSet
+    val want = vs.map(_._1).filter(_ < 8).sorted.flatMap { q =>
+      val qb = buckets(byId(q))
+      val cand = vs.filter { case (d, dv) =>
+        d != q && buckets(dv).exists(qb) }.map(_._1)
+      val exactTop = vs.filter(_._1 != q)
+        .map { case (d, dv) => (d, maxsim(byId(q), dv)) }
+        .sortBy { case (d, ms) => (-ms, d) }.take(5).map(_._1).toSet
+      val atop = cand.map(d => (d, maxsim(byId(q), byId(d))))
+        .sortBy { case (d, ms) => (-ms, d) }.take(5)
+      val recall = atop.count { case (d, _) => exactTop(d) } / 5.0
+      atop.zipWithIndex.map { case ((d, ms), i) =>
+        (q, i + 1, d, ms, cand.length.toLong, recall) }
+    }
+    assert(rows.toSeq == want.toSeq,
+      s"cascade diverged: got ${rows.take(3).toSeq} want ${want.take(3).toSeq}")
+    // the audit must be live: the index finds some of the true top-5
+    // but (being an 8-bit token filter) not everything everywhere
+    assert(rows.map(_._6).sum > 0, "cascade recall must be non-zero")
+    assert(rows.forall(r => r._5 < vs.length - 1),
+      "candidate stage must actually filter the corpus")
+  }
 }
