@@ -53,10 +53,8 @@ object GraphOps {
       // frame, instead of re-joining the full edge set against deg
       // every round. The plain sym checkpoint is superseded — free it
       // as soon as symdeg has materialized.
-      val symdeg = sym.join(deg, "src")
-        .select(col("src"), col("dst"), col("deg"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(sym)
+      val symdeg = graft.graph.Rotate.supersede(
+        sym.join(deg, "src").select(col("src"), col("dst"), col("deg")), sym)
       val nFrame = broadcast(deg.agg(count(lit(1)).as("n")))
       var pr = deg.crossJoin(nFrame)
         .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))

@@ -125,7 +125,8 @@ object GraphOps2 {
       var alive: DataFrame = e2
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 60).select("node").localCheckpoint(true)
-      // ADAPTIVE frontier rotation (r8, measured): round 7
+      // ADAPTIVE frontier rotation (r8, measured; policy codified in
+      // [[graft.graph.Rotate]] as of r9): round 7
       // unconditionally filtered the edge set to alive–alive edges
       // and checkpoint-rotated it every round (VERDICT r6 #2) — but
       // on this graph the 60-core retains 99.7% of nodes after round
@@ -151,14 +152,11 @@ object GraphOps2 {
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 60).select("node").localCheckpoint(true)
         val nextCnt = nextAlive.count()
-        if (nextCnt < 0.8 * aliveCnt) {
-          val shrunk = e2
+        if (graft.graph.Rotate.shrank(aliveCnt, nextCnt)) {
+          e2 = graft.graph.Rotate.supersede(e2
             .join(nextAlive.select(col("node").as("src")), "src")
             .join(nextAlive.select(col("node").as("dst")), "dst")
-            .select("src", "dst")
-            .localCheckpoint(true)
-          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(e2)
-          e2 = shrunk
+            .select("src", "dst"), e2)
         }
         alive = nextAlive
         aliveCnt = nextCnt

@@ -432,6 +432,57 @@ object EventStreams {
     runToCompletion(agg, "complete", queryName)
   }
 
+  /** Streaming twin of q255's HLL-merge view maintenance (VERDICT r8
+    * #6): the per-key distinct-count view is maintained ACROSS
+    * micro-batches by foreachBatch — each batch folds its rows into
+    * per-key HLL sketches (`hll_sketch_agg`) and union-merges them
+    * into the STORED view with `hll_union`, which is exactly the
+    * Θ(keys)-per-refresh merge a warehouse runs per ingest batch
+    * (never re-scanning history). HLL registers are per-bucket
+    * maxima, so the maintained view is invariant to how rows were
+    * split into batches: StreamingSpec pins stream-maintained ==
+    * batch-computed sketch EXACTLY per key, plus the 8% band vs the
+    * exact distinct count. The view frame is checkpoint-rotated per
+    * refresh (the stored artifact stays Θ(keys) and lineage O(1));
+    * a production run would swap the localCheckpoint for a reliable
+    * table write, as q255's batch form stores its (key, half)
+    * sketches.
+    *
+    * @param stream streaming DataFrame with columns `k` (group key)
+    *               and `v` (the value whose distincts are counted)
+    * @return (final stored view (k, sk binary), non-empty batches)
+    */
+  def hllViewMaintenance(stream: DataFrame): (DataFrame, Int) = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.types._
+    var stored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType), StructField("sk", BinaryType))))
+    var pinned: DataFrame = null
+    var batches = 0
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches += 1
+          val part = batch.groupBy("k")
+            .agg(expr("hll_sketch_agg(v, 12)").as("bsk"))
+          // supersede-don't-accumulate (graft.graph.Rotate rule 1):
+          // the view chain would otherwise pin one frame per batch
+          stored = graft.graph.Rotate.supersede(
+            stored.join(part, Seq("k"), "full_outer")
+              .select(col("k"),
+                when(col("sk").isNotNull && col("bsk").isNotNull,
+                  expr("hll_union(sk, bsk, true)"))
+                  .otherwise(coalesce(col("sk"), col("bsk"))).as("sk")),
+            pinned)
+          pinned = stored
+        }
+        ()
+      }
+    drain(spark, writer)
+    (stored, batches)
+  }
+
   private def drain(
       spark: SparkSession,
       writer: org.apache.spark.sql.streaming.DataStreamWriter[

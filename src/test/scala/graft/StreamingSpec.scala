@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSpec {
       "4-batch incremental aggregation must equal the batch answer")
   }
 
+  test("HLL IVM view maintained across micro-batches == batch sketch per key") {
+    import org.apache.spark.sql.functions._
+    // q255's streaming twin (VERDICT r8 #6): 4 files -> >= 4
+    // micro-batch refreshes of the stored per-key sketch view
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllivm").toString
+    Tables.events(spark, sf())
+      .select(col("event_type").as("k"), col("user_id").cast("string").as("v"))
+      .repartition(4).write.parquet(s"$dir/ev")
+    val schema = spark.read.parquet(s"$dir/ev").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ev")
+    val (view, batches) = EventStreams.hllViewMaintenance(stream)
+    assert(batches >= 4, s"merge path must run across batches, got $batches")
+    val got = view
+      .select(col("k"), expr("hll_sketch_estimate(sk)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(s"$dir/ev").groupBy("k")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))").as("est"),
+        countDistinct(col("v")).as("exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.keySet == want.map(_._1).toSet)
+    want.foreach { case (k, est, exact) =>
+      // register-max merging: batch-split invariance must be EXACT
+      assert(got(k) == est,
+        s"stream-maintained view for $k must equal the batch sketch")
+      assert(math.abs(got(k) - exact) <= math.max(math.round(exact * 0.08), 3L),
+        s"estimate for $k outside the 8% band vs exact $exact")
+    }
+  }
+
   test("streaming content dedup of a document stream matches batch exact dedup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
