@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every registry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall
@@ -54,6 +55,26 @@ object Bench {
     "q63_pivot_status", "q64_correlated_subquery",
     "q65_lateral_view_explode", "q66_ivf_search", "q68_setops_all",
     "q69_window_nth_value")
+
+  /** Host-drift canary (VERDICT r8 #3): a FROZEN synthetic workload —
+    * no fixture I/O, no registry code — timed alongside every sweep.
+    * headline-68 crept 29.3 → 33.7 s across r5→r8 with each step
+    * attributed in prose to host drift; this makes the attribution
+    * measurable inside the artifact itself: the canary touches
+    * nothing that evolves round-to-round (range → xxhash64 →
+    * 1000-key aggregate), so if `total_headline / canary_sec` is
+    * stable across rounds the creep is the host, and if the ratio
+    * moves the code did. NEVER change this workload — like the
+    * headline-68 set, it is only meaningful frozen.
+    */
+  def canary(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 1000000000L, 1L, 32)
+      .selectExpr("id % 1000 AS k", "xxhash64(id) % 1000000 AS h") // mod: 2e8 summands stay far from Long overflow under ANSI
+      .groupBy("k").agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,7 +153,10 @@ object Bench {
     val totalHeadline = results
       .collect { case (n, v, _) if v >= 0 && headline.contains(n) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_headline":$totalHeadline,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
+    // best-of-3 canary, timed AFTER the sweep so it sees the same
+    // JVM/codegen state the late queries did
+    val canarySec = (1 to 3).map(_ => canary(spark)).min
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_headline":$totalHeadline,"canary_sec":$canarySec,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -96,5 +96,8 @@ object Q {
       queries.SearchOps3.all ++
       queries.Analytics5.all ++
       queries.SketchOps.all ++
-      queries.ReleaseOps.all
+      queries.ReleaseOps.all ++
+      queries.CorpusOps5.all ++
+      queries.IvmOps.all ++
+      queries.SearchOps4.all
 }

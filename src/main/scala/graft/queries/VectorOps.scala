@@ -22,13 +22,13 @@ object VectorOps {
     * so the 64-wide posexplode/dot-product pipelines use every core
     * (see the same note in TextOps.docs).
     */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   /** Per-label centroid vectors as rounded arrays (shared by q50 and
     * q66; q49 keeps the long format as its output contract).
     */
-  private def centroidVectors(s: SparkSession, dir: String): DataFrame =
+  private[queries] def centroidVectors(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
       .select(col("label"), posexplode(col("embedding")))
       .toDF("label", "pos0", "v")
