@@ -483,6 +483,49 @@ object EventStreams {
     (stored, batches)
   }
 
+  /** q260's streaming twin (completes the IVM streaming pairings:
+    * q230 sketches, q255 HLL views, and now the quantile histogram):
+    * the stored per-(key, bin) equi-width histogram — q260's
+    * constant-size quantile artifact — maintained across micro-batches
+    * by COUNT ADDITION, the histogram's merge operation. Each batch
+    * contributes its own partial histogram; the stored view is the
+    * running sum, so any refresh can answer the median to within one
+    * bin width without replaying the stream. Same rotation discipline
+    * as the HLL view (supersede-don't-accumulate).
+    *
+    * @param stream streaming DataFrame with columns `k` (group key)
+    *               and `cts` (exact integer cents)
+    * @return (final stored view (k, bin, c), non-empty batches)
+    */
+  def histogramViewMaintenance(
+      stream: DataFrame, binWidthCents: Long): (DataFrame, Int) = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.types._
+    var stored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", StringType),
+        StructField("bin", LongType), StructField("c", LongType))))
+    var pinned: DataFrame = null
+    var batches = 0
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches += 1
+          val part = batch
+            .select(col("k"), expr(s"cts div $binWidthCents").as("bin"))
+            .groupBy("k", "bin").agg(count(lit(1)).as("c"))
+          stored = graft.graph.Rotate.supersede(
+            stored.unionByName(part)
+              .groupBy("k", "bin").agg(sum("c").as("c")),
+            pinned)
+          pinned = stored
+        }
+        ()
+      }
+    drain(spark, writer)
+    (stored, batches)
+  }
+
   private def drain(
       spark: SparkSession,
       writer: org.apache.spark.sql.streaming.DataStreamWriter[

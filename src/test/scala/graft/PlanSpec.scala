@@ -472,4 +472,64 @@ class PlanSpec extends SparkSpec {
     assert(rddScans >= 4,
       s"all four prefix audits must read the checkpointed scoring pass, found $rddScans scans")
   }
+
+  test("q266: CDC chunking generates BEFORE any exchange (no token-level shuffle)") {
+    // the whole point of row-local HOF chunking: the only rows that
+    // ever shuffle are (lang, 60-bit hash, nc) chunk rows, never
+    // token-level rows. In the plan: the Generate (explode of the
+    // chunk structs) must sit BELOW the first Exchange.
+    val df = q("q266_cdc_chunk_dedup")
+    df.collect()
+    val s = planString(df)
+    val gen = s.indexOf("Generate explode")
+    assert(gen >= 0, s"expected a Generate in the plan:\n${s.take(1500)}")
+    // plan strings print top-down (root first), and q266 is a single
+    // chain — everything AFTER the Generate is its input subtree. The
+    // ONLY exchange allowed there is Tables.docs' round-robin
+    // repartition of the raw DOC rows (parallelizing the single-row-
+    // group fixture file); chunk/token rows must never shuffle
+    val below = s.substring(gen)
+    val exchanges = "Exchange \\w+".r.findAllIn(below).toList
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")),
+      s"only the doc-scan repartition may sit below the chunk explode, found $exchanges:\n${below.take(1500)}")
+    // both aggregations are partial+final pairs (map-side combine on
+    // the chunk-hash rollup: duplicate chunks collapse before the wire)
+    assert("HashAggregate".r.findAllIn(s).length >= 4,
+      s"expected partial+final HashAggregate pairs:\n${s.take(1500)}")
+  }
+
+  test("q267: the top-k merge never joins — two window passes, no fact re-scan") {
+    val s = planString(q("q267_topk_view_maintenance"))
+    assert(!s.contains("Join"), // refresh = union + re-rank, join-free
+      s"top-k IVM must not join:\n${s.take(1500)}")
+    // WindowGroupLimit pushes rank<=5 below the sort (partial top-k
+    // per partition BEFORE the per-key shuffle)
+    assert(s.contains("WindowGroupLimit"),
+      s"rank filter must push down as WindowGroupLimit:\n${s.take(1500)}")
+  }
+
+  test("q268: probe joins broadcast the 20-query side; posting list never re-shuffles") {
+    val df = q("q268_filtered_ivf_search")
+    df.collect()
+    val s = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2,
+      s"cell probe and recall audit must broadcast the query side:\n${s.take(1500)}")
+    // index built once: assignment pass is checkpointed, so the plan
+    // reads the materialized RDD instead of re-running the centroid
+    // cross join per consumer
+    assert("Scan ExistingRDD".r.findAllIn(s).length >= 3,
+      s"posting list/probe/exact sides must share the checkpointed index:\n${s.take(1500)}")
+  }
+
+  test("q269: the stored session view materializes once and feeds both refresh paths") {
+    val df = q("q269_session_view_maintenance")
+    df.collect()
+    val s = planString(df)
+    // stored is localCheckpoint(true): merged + untouched branches
+    // must read it as an RDD scan, not re-sessionize the fact twice
+    assert("Scan ExistingRDD".r.findAllIn(s).length >= 2,
+      s"both refresh branches must read the stored view:\n${s.take(1500)}")
+    assert(!s.contains("SortMergeJoin"),
+      s"affected-user routing must stay broadcast-sized:\n${s.take(1500)}")
+  }
 }

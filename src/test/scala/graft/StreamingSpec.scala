@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("histogram IVM view maintained across micro-batches == batch histogram per key") {
+    import org.apache.spark.sql.functions._
+    // q260's streaming twin: 4 files -> >= 4 micro-batch refreshes of
+    // the stored per-(key, bin) histogram; count addition makes
+    // batch-split invariance EXACT, so the maintained view must equal
+    // the one-shot batch histogram bin for bin — and therefore answer
+    // the same median estimate q260 derives from it
+    val dir = java.nio.file.Files.createTempDirectory("graft-histivm").toString
+    Tables.t(spark, sf(), "orders")
+      .select(col("o_orderpriority").as("k"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long").as("cts"))
+      .repartition(4).write.parquet(s"$dir/ord")
+    val schema = spark.read.parquet(s"$dir/ord").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ord")
+    val (view, batches) =
+      EventStreams.histogramViewMaintenance(stream, 200000L)
+    assert(batches >= 4, s"merge path must run across batches, got $batches")
+    val got = view.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = spark.read.parquet(s"$dir/ord")
+      .select(col("k"), expr("cts div 200000").as("bin"))
+      .groupBy("k", "bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      "stream-maintained histogram must equal the batch histogram exactly")
+  }
+
   test("streaming content dedup of a document stream matches batch exact dedup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
