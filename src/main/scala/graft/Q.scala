@@ -99,5 +99,6 @@ object Q {
       queries.ReleaseOps.all ++
       queries.CorpusOps5.all ++
       queries.IvmOps.all ++
-      queries.SearchOps4.all
+      queries.SearchOps4.all ++
+      queries.StorageOps2.all
 }
