@@ -487,13 +487,19 @@ object Analytics2 {
         .orderBy(col("clustering").desc, col("part"))
         .limit(25)
     },
-    Some("""WITH li AS (
+    // li/e/tri are MATERIALIZED: e is referenced FIVE times (e1/e2/e3
+    // + twice in deg) and tri three times — DuckDB inlines
+    // multi-referenced CTEs, so at sf10 the 60M-row co-purchase
+    // self-join was re-derived per reference and its spill filled the
+    // disk (the same hazard class as the q216 BPE chains, README
+    // "Measured scale-up"); materialized, the oracle runs in minutes
+    Some("""WITH li AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT a.pk AS pa, b.pk AS pb
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
       |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
       |  WHERE EXISTS (SELECT 1 FROM e e3
