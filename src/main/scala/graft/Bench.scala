@@ -70,7 +70,7 @@ object Bench {
   def canary(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 1000000000L, 1L, 32)
-      .selectExpr("id % 1000 AS k", "xxhash64(id) % 1000000 AS h") // mod: 2e8 summands stay far from Long overflow under ANSI
+      .selectExpr("id % 1000 AS k", "xxhash64(id) % 1000000 AS h") // mod: ~1e6 summands/key, |sum| <= ~1e12, far from Long overflow under ANSI
       .groupBy("k").agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9

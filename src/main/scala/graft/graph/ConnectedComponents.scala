@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * plan analysis stays O(1) per round. A multi-hour production run
   * would swap the periodic localCheckpoint for reliable `checkpoint`
   * against the cluster store.
+  *
+  * Checkpoint rotation follows the shared [[Rotate]] policy (rule 1,
+  * supersede-don't-accumulate): each lineage truncation releases the
+  * superseded label checkpoint's blocks, and the loop-invariant
+  * node/edge pins are released once the output has materialized — a
+  * long dedup campaign calling CC per corpus slice must not
+  * accumulate one pinned label table per call. Rule 2 (shrink-gated
+  * re-materialization) is deliberately NOT applied: unlike k-core
+  * peeling, min-label propagation never shrinks its edge set, so
+  * there is nothing to rotate down to.
   */
 object ConnectedComponents {
 
@@ -79,6 +89,9 @@ object ConnectedComponents {
       loopSession.createDataFrame(nodes.rdd, nodes.schema),
       loopSession.createDataFrame(edges.rdd, edges.schema),
       maxIter)
+    // the output is its own eager checkpoint, so the node pin is now
+    // superseded (Rotate rule 1)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(nodes)
     // hand the (pinned) result back on the caller's session so it
     // composes with the caller's own frames
     spark.createDataFrame(out.rdd, out.schema)
@@ -97,6 +110,9 @@ object ConnectedComponents {
       .repartition(col("b"))
       .localCheckpoint(true)
     var lbl = nodes.withColumn("lab", col("node")).localCheckpoint(true)
+    // the live label checkpoint; every rotation supersedes it (Rotate
+    // rule 1) instead of leaving one pinned copy per truncation
+    var lblCkpt = lbl
     // one propagate + pointer-halving hop (pure plan construction)
     def hop(cur: DataFrame): DataFrame = {
       val prop = sym.join(cur, sym("b") === cur("node"))
@@ -130,8 +146,11 @@ object ConnectedComponents {
       prevSum = s
       iter += (if (twoHops) 2 else 1)
       if (iter % 4 == 0 && !done) {
-        // truncate lineage; the checkpoint replaces the cache chain
-        lbl = next.localCheckpoint(true)
+        // truncate lineage: pin the new label table, release the
+        // superseded checkpoint AND the cache chain (Rotate rule 1 —
+        // safe because every later hop builds only on the new pin)
+        lbl = Rotate.supersede(next, lblCkpt)
+        lblCkpt = lbl
         (next :: cached).foreach(_.unpersist(false))
         cached = Nil
       } else {
@@ -143,7 +162,11 @@ object ConnectedComponents {
     }
     val out = lbl.select(col("node"), col("lab").as("component"))
       .localCheckpoint(true)
+    // the eager output supersedes every loop pin: the cache chain,
+    // the live label checkpoint, and the loop-invariant edge table
     cached.foreach(_.unpersist(false))
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(lblCkpt)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(sym)
     out
   }
 }

@@ -63,7 +63,7 @@ object IncrementalCC {
     val recomp = ConnectedComponents.run(inAffected)
     val survNodes = survEdges
       .select(explode(array(col("a"), col("b"))).as("node")).distinct()
-    survNodes
+    val out = survNodes
       .join(snap, Seq("node")) // every surviving node was in the snapshot
       .join(broadcast(affected), col("component") === col("aff"), "left")
       .join(recomp.select(col("node"), col("component").as("newc")),
@@ -72,5 +72,16 @@ object IncrementalCC {
         when(col("aff").isNotNull, col("newc"))
           .otherwise(col("component")).as("component"),
         col("aff").isNotNull.as("was_affected"))
+      // materialize the refreshed labels, then RELEASE the two eager
+      // intermediates: in the long-lived refresh-loop deployment this
+      // runs per takedown batch, and without the release each call
+      // would pin another Θ(nodes) snapshot in block-manager storage
+      // (Rotate rule 1). The returned frame is itself a checkpoint —
+      // exactly the artifact a refresh loop stores as the new snapshot.
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(snap)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(affected)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(recomp)
+    out
   }
 }
