@@ -122,17 +122,40 @@ object Analytics5 {
         .select((col("c_custkey") + 10000000L).as("b_id"), col("b_name"),
           col("c_nationkey").as("b_nat"), col("b_seg"), col("b_bal"), col("cls"))
         .localCheckpoint(true) // feeds key-explode, payload join, class totals
-      def keys(df: DataFrame, id: String, nat: String, bal: String): DataFrame =
-        df.select(col(id), explode(array(
-          concat_ws(":", lit("g1"), col(nat), floor(col(bal))),
-          concat_ws(":", lit("g2"), col(nat), floor(col(bal) + 0.5)))).as("bk"))
-      val ak = keys(a, "a_id", "a_nat", "a_bal")
+      // Candidate pairs carry (bal, name length, segment) so losing
+      // pairs die BEFORE the distinct + payload join + levenshtein.
+      // The filters are provably lossless (VERDICT r9 #7 asked for a
+      // second blocking signal; this one cannot change the output):
+      // `best` keeps only rank-1 rows with sc >= 5, and sc >= 5 forces
+      //   - lev <= 1  (lev=2 caps at 0+1+3 = 4), hence
+      //     |length(a_name) - length(b_name)| <= 1;
+      //   - |a_bal - b_bal| <= 0.0501  (without +3 the cap is 4+1-3 = 2);
+      //   - a_seg = b_seg or b_seg = 'UNKNOWN'  (mismatch caps at
+      //     4-3+3 = 4).
+      // Dropping a sub-rank-1 candidate never changes the rank-1 row,
+      // and every rank-1-with-sc>=5 row survives the filter — so the
+      // result is bit-identical while the hot dollar-band blocks shed
+      // ~the pair mass that made q249 the slowest sf10 ER query (the
+      // half-offset bands guarantee co-blocking of true pairs, but
+      // also co-block every same-nation account within $1; bal
+      // proximity is exactly the signal the band key quantized away).
+      def keys(df: DataFrame, id: String, nat: String, bal: String,
+          name: String, seg: String): DataFrame =
+        df.select(col(id), col(bal).as(s"${id}_bal"),
+          length(col(name)).as(s"${id}_len"), col(seg).as(s"${id}_seg"),
+          explode(array(
+            concat_ws(":", lit("g1"), col(nat), floor(col(bal))),
+            concat_ws(":", lit("g2"), col(nat), floor(col(bal) + 0.5)))).as("bk"))
+      val ak = keys(a, "a_id", "a_nat", "a_bal", "a_name", "a_seg")
       // no-silent-caps: oversized blocks leave candidate gen, counted
       val big = ak.groupBy("bk").agg(count(lit(1)).as("ac"))
         .filter(col("ac") > 256).select("bk")
       val nCapped = big.agg(count(lit(1)).as("capped_blocks"))
       val cand = ak.join(big, Seq("bk"), "left_anti")
-        .join(keys(b, "b_id", "b_nat", "b_bal"), "bk")
+        .join(keys(b, "b_id", "b_nat", "b_bal", "b_name", "b_seg"), "bk")
+        .filter(abs(col("a_id_bal") - col("b_id_bal")) <= 0.0501 &&
+          abs(col("a_id_len") - col("b_id_len")) <= 1 &&
+          (col("b_id_seg") === "UNKNOWN" || col("a_id_seg") === col("b_id_seg")))
         .select("a_id", "b_id").distinct()
       val scored = cand
         .join(a, "a_id").join(b, "b_id")
