@@ -45,6 +45,31 @@ object CsvIngest {
     }
   }
 
+  /** The same layout normalization over the Hadoop FileSystem API, so
+    * it works against ANY scheme Spark can read — in particular the
+    * object-store locations the reference actually uses
+    * (`s3a://bucket/uploads/<id>/<id>.csv`, built at
+    * backend/hive_manager.py:94-103; the move itself is the
+    * copy_object/delete_object pair at backend/csv_processor.py:43-71).
+    * On an object store the "directory" is only a key prefix and the
+    * rename is copy+delete per object — semantics the `java.nio`
+    * variant above cannot express.
+    */
+  def normalizeUploadLayoutFs(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    val stem = p.getName.replaceAll("\\.[^.]+$", "")
+    if (parent != null && parent.getName == stem) parent.toString
+    else {
+      val dir = new org.apache.hadoop.fs.Path(parent, stem)
+      fs.mkdirs(dir)
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+        throw new java.io.IOException(s"rename failed: $path -> $dir")
+      dir.toString
+    }
+  }
+
   final case class IngestResult(
       table: String,
       delimiter: String,
