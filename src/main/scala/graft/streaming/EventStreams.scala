@@ -455,32 +455,37 @@ object EventStreams {
   def hllViewMaintenance(stream: DataFrame): (DataFrame, Int) = {
     val spark = stream.sparkSession
     import org.apache.spark.sql.types._
-    var stored = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("k", StringType), StructField("sk", BinaryType))))
-    var pinned: DataFrame = null
-    var batches = 0
+    // Atomics, not captured vars: the foreachBatch closure runs on the
+    // stream-execution thread while the caller reads the final state
+    // after drain(); the atomics make the cross-thread publish explicit
+    // rather than relying on awaitTermination's incidental locking.
+    val stored = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("k", StringType), StructField("sk", BinaryType)))))
+    val pinned = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          batches += 1
+          batches.incrementAndGet()
           val part = batch.groupBy("k")
             .agg(expr("hll_sketch_agg(v, 12)").as("bsk"))
           // supersede-don't-accumulate (graft.graph.Rotate rule 1):
           // the view chain would otherwise pin one frame per batch
-          stored = graft.graph.Rotate.supersede(
-            stored.join(part, Seq("k"), "full_outer")
+          stored.set(graft.graph.Rotate.supersede(
+            stored.get.join(part, Seq("k"), "full_outer")
               .select(col("k"),
                 when(col("sk").isNotNull && col("bsk").isNotNull,
                   expr("hll_union(sk, bsk, true)"))
                   .otherwise(coalesce(col("sk"), col("bsk"))).as("sk")),
-            pinned)
-          pinned = stored
+            pinned.get))
+          pinned.set(stored.get)
         }
         ()
       }
     drain(spark, writer)
-    (stored, batches)
+    (stored.get, batches.get)
   }
 
   /** q260's streaming twin (completes the IVM streaming pairings:
@@ -501,29 +506,121 @@ object EventStreams {
       stream: DataFrame, binWidthCents: Long): (DataFrame, Int) = {
     val spark = stream.sparkSession
     import org.apache.spark.sql.types._
-    var stored = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("k", StringType),
-        StructField("bin", LongType), StructField("c", LongType))))
-    var pinned: DataFrame = null
-    var batches = 0
+    // same explicit cross-thread publish discipline as hllViewMaintenance
+    val stored = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("k", StringType),
+          StructField("bin", LongType), StructField("c", LongType)))))
+    val pinned = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          batches += 1
+          batches.incrementAndGet()
           val part = batch
             .select(col("k"), expr(s"cts div $binWidthCents").as("bin"))
             .groupBy("k", "bin").agg(count(lit(1)).as("c"))
-          stored = graft.graph.Rotate.supersede(
-            stored.unionByName(part)
+          stored.set(graft.graph.Rotate.supersede(
+            stored.get.unionByName(part)
               .groupBy("k", "bin").agg(sum("c").as("c")),
-            pinned)
-          pinned = stored
+            pinned.get))
+          pinned.set(stored.get)
         }
         ()
       }
     drain(spark, writer)
-    (stored, batches)
+    (stored.get, batches.get)
+  }
+
+  /** q267's streaming twin (VERDICT r9 #3, completing the IVM
+    * streaming pairings alongside q255-HLL and q260-histogram): a
+    * per-key top-k view maintained across micro-batches. Top-k under
+    * insert-only deltas is a bounded join-semilattice — each batch is
+    * reduced to ITS own top-k per key, unioned with the stored k rows,
+    * and re-ranked; the global top-k always lives inside that ≤2k-row
+    * union, so the maintained view is EXACT at any batch split while
+    * the stored state stays k rows per key. Same supersede rotation
+    * and cross-thread publish discipline as the HLL view.
+    *
+    * @param stream streaming DataFrame with columns `k` (group key),
+    *               `cts` (ranking value, exact integers), `id`
+    *               (tiebreak, unique)
+    * @return (final stored view (k, id, cts), non-empty batches)
+    */
+  def topkViewMaintenance(stream: DataFrame, k: Int): (DataFrame, Int) = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.types._
+    val stored = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("k", StringType),
+          StructField("id", LongType), StructField("cts", LongType)))))
+    val pinned = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("cts").desc, col("id"))
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          stored.set(graft.graph.Rotate.supersede(
+            topk(stored.get.unionByName(topk(batch.select("k", "id", "cts")))),
+            pinned.get))
+          pinned.set(stored.get)
+        }
+        ()
+      }
+    drain(spark, writer)
+    (stored.get, batches.get)
+  }
+
+  /** q269's streaming twin: gap-based sessions maintained under
+    * late-arriving micro-batches. Each batch's events enter as
+    * single-point session hulls; the stored sessions of AFFECTED
+    * users only are island-merged with those points (the same
+    * [[graft.queries.IvmOps.mergeSessions]] kernel the batch query
+    * uses — a late event can extend a session, open one, or BRIDGE
+    * two stored sessions), and every untouched user's rows pass
+    * through verbatim. Θ(batch + affected users' sessions) per
+    * refresh, never Θ(history).
+    *
+    * @param stream streaming DataFrame with columns `user_id`, `us`
+    *               (event time, exact integer microseconds)
+    * @return (final stored view (user_id, s_start, s_end, n_events),
+    *         non-empty batches)
+    */
+  def sessionViewMaintenance(stream: DataFrame, gapUs: Long): (DataFrame, Int) = {
+    val spark = stream.sparkSession
+    import org.apache.spark.sql.types._
+    val stored = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("s_start", LongType), StructField("s_end", LongType),
+          StructField("n_events", LongType)))))
+    val pinned = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          val pts = batch.select(col("user_id"), col("us").as("s_start"),
+            col("us").as("s_end"), lit(1L).as("n_events"))
+          val merged = graft.queries.IvmOps.mergeSessions(stored.get, pts, gapUs)
+          val untouched = stored.get.join(
+            pts.select("user_id").distinct(), Seq("user_id"), "left_anti")
+          stored.set(graft.graph.Rotate.supersede(
+            untouched.unionByName(merged), pinned.get))
+          pinned.set(stored.get)
+        }
+        ()
+      }
+    drain(spark, writer)
+    (stored.get, batches.get)
   }
 
   private def drain(

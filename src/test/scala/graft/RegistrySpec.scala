@@ -45,6 +45,23 @@ class RegistrySpec extends SparkSpec {
       s"registry queries missing from COVERAGE.md: ${missing.mkString(", ")}")
   }
 
+  test("SF10_EVERGREEN.json has a 100x-green row for every registry query") {
+    // VERDICT r9 #5: the evergreen manifest was complete the day it
+    // was written, but nothing forced it to STAY complete — a new
+    // registry query without an sf10-green (date, commit) row would
+    // silently erode the scale proof. Same pin pattern as the
+    // COVERAGE/README guards above.
+    val manifest = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("SF10_EVERGREEN.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keys = """"(q\d+[a-z]?_[a-z0-9_]+)"\s*:""".r
+      .findAllMatchIn(manifest).map(_.group(1)).toSet
+    val missing = Q.registry.map(_.name).filterNot(keys)
+    assert(missing.isEmpty,
+      s"registry queries with no sf10 evergreen row: ${missing.mkString(", ")}")
+  }
+
   test("entry flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
