@@ -43,7 +43,25 @@ object IncrementalCC {
     *         min surviving node id of its component and was_affected
     *         marks nodes whose snapshot component lost an edge
     */
-  def withDeletions(snapEdges: DataFrame, survEdges: DataFrame): DataFrame = {
+  /** @param pinAndRelease false (default) returns the composed frame
+    *                 LAZY and leaves the intermediate checkpoints
+    *                 pinned — right for a one-shot query (q264),
+    *                 where an extra eager materialization of the
+    *                 output costs a full Θ(nodes) pass inside the
+    *                 operator (measured ~+12% on q264 at sf0.1) and
+    *                 the JVM ends anyway. True pins the output and
+    *                 RELEASES the snapshot/affected/recomputed
+    *                 checkpoints first (Rotate rule 1) — REQUIRED in
+    *                 the long-lived refresh-loop deployment, where
+    *                 this runs per takedown batch and the lazy mode
+    *                 would pin another Θ(nodes) snapshot per call;
+    *                 the pinned result is exactly the artifact the
+    *                 loop stores as its next snapshot
+    *                 (IncrementalCCReleaseSpec pins that the loop
+    *                 mode frees every intermediate block).
+    */
+  def withDeletions(snapEdges: DataFrame, survEdges: DataFrame,
+      pinAndRelease: Boolean = false): DataFrame = {
     // stored state: in production this frame is persisted at
     // snapshot-build time and read back here; recomputing it in the
     // operator keeps the query self-contained (q262's convention)
@@ -72,16 +90,16 @@ object IncrementalCC {
         when(col("aff").isNotNull, col("newc"))
           .otherwise(col("component")).as("component"),
         col("aff").isNotNull.as("was_affected"))
-      // materialize the refreshed labels, then RELEASE the two eager
-      // intermediates: in the long-lived refresh-loop deployment this
-      // runs per takedown batch, and without the release each call
-      // would pin another Θ(nodes) snapshot in block-manager storage
-      // (Rotate rule 1). The returned frame is itself a checkpoint —
-      // exactly the artifact a refresh loop stores as the new snapshot.
-      .localCheckpoint(true)
-    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(snap)
-    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(affected)
-    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(recomp)
-    out
+    if (!pinAndRelease) out
+    else {
+      // refresh-loop mode: materialize the refreshed labels, then
+      // release every intermediate pin (Rotate rule 1 — valid only
+      // once the sole consumer, the output, has materialized)
+      val pinned = out.localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(snap)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(affected)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(recomp)
+      pinned
+    }
   }
 }
