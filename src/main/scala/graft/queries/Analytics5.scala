@@ -121,56 +121,61 @@ object Analytics5 {
           .otherwise(col("c_mktsegment")))
         .select((col("c_custkey") + 10000000L).as("b_id"), col("b_name"),
           col("c_nationkey").as("b_nat"), col("b_seg"), col("b_bal"), col("cls"))
-        .localCheckpoint(true) // feeds key-explode, payload join, class totals
-      // Candidate pairs carry (bal, name length, segment) so losing
-      // pairs die BEFORE the distinct + payload join + levenshtein.
-      // The filters are provably lossless (VERDICT r9 #7 asked for a
-      // second blocking signal; this one cannot change the output):
-      // `best` keeps only rank-1 rows with sc >= 5, and sc >= 5 forces
-      //   - lev <= 1  (lev=2 caps at 0+1+3 = 4), hence
-      //     |length(a_name) - length(b_name)| <= 1;
-      //   - |a_bal - b_bal| <= 0.0501  (without +3 the cap is 4+1-3 = 2);
-      //   - a_seg = b_seg or b_seg = 'UNKNOWN'  (mismatch caps at
-      //     4-3+3 = 4).
-      // Dropping a sub-rank-1 candidate never changes the rank-1 row,
-      // and every rank-1-with-sc>=5 row survives the filter — so the
-      // result is bit-identical while the hot dollar-band blocks shed
-      // ~the pair mass that made q249 the slowest sf10 ER query (the
-      // half-offset bands guarantee co-blocking of true pairs, but
-      // also co-block every same-nation account within $1; bal
-      // proximity is exactly the signal the band key quantized away).
+        .localCheckpoint(true) // feeds key-explode and class totals
+      // One pass from block join to best match — no distinct, no
+      // payload joins, no window sort. ProfileEr at sf10 attributed
+      // the old shape's 47 s to exactly those three (22.5 s distinct
+      // shuffle of 300M pairs, ~30 s of 150M-pair payload joins +
+      // levenshtein, ~18 s rank-window sort); the r9 "hot dollar
+      // band" theory was wrong — the pair mass is ScaleUp clone
+      // groups sharing identical (bal, segment, length), which no
+      // blocking key separates. The rewrites are output-identical:
+      //  - key rows carry the full scoring payload (bal, length,
+      //    lowered name, segment, cls), so pairs are scored in the
+      //    block-join's output stream;
+      //  - pairs that cannot reach sc >= 5 die first: sc >= 5 forces
+      //    lev <= 1 (lev=2 caps at 0+1+3 = 4) hence length diff <= 1,
+      //    |a_bal - b_bal| <= 0.0501 (else cap 4+1-3 = 2), and seg
+      //    equal-or-UNKNOWN (else cap 4-3+3 = 4) — and only sc >= 5
+      //    rows can reach the output, so the filter is lossless;
+      //  - levenshtein runs banded with threshold 2 (O(n·k), not
+      //    O(n²)); every lev > 2 value lands in the same -99 branch
+      //    the exact distance would, so the score is unchanged;
+      //  - rank-1-per-b_id is an argmax: min(struct(-sc, lev, a_id))
+      //    is the same total order as the ORDER BY, partial-aggregates
+      //    map-side, never sorts — and is duplicate-insensitive, which
+      //    is what made the g1/g2-overlap distinct removable.
       def keys(df: DataFrame, id: String, nat: String, bal: String,
-          name: String, seg: String): DataFrame =
-        df.select(col(id), col(bal).as(s"${id}_bal"),
-          length(col(name)).as(s"${id}_len"), col(seg).as(s"${id}_seg"),
+          name: String, seg: String, extra: Seq[String] = Nil): DataFrame =
+        df.select(Seq(col(id), col(bal).as(s"${id}_bal"),
+          length(col(name)).as(s"${id}_len"),
+          lower(col(name)).as(s"${id}_lname"), col(seg).as(s"${id}_seg")) ++
+          extra.map(col) :+
           explode(array(
             concat_ws(":", lit("g1"), col(nat), floor(col(bal))),
-            concat_ws(":", lit("g2"), col(nat), floor(col(bal) + 0.5)))).as("bk"))
+            concat_ws(":", lit("g2"), col(nat), floor(col(bal) + 0.5)))).as("bk"): _*)
       val ak = keys(a, "a_id", "a_nat", "a_bal", "a_name", "a_seg")
       // no-silent-caps: oversized blocks leave candidate gen, counted
       val big = ak.groupBy("bk").agg(count(lit(1)).as("ac"))
         .filter(col("ac") > 256).select("bk")
       val nCapped = big.agg(count(lit(1)).as("capped_blocks"))
-      val cand = ak.join(big, Seq("bk"), "left_anti")
-        .join(keys(b, "b_id", "b_nat", "b_bal", "b_name", "b_seg"), "bk")
+      val pairs = ak.join(big, Seq("bk"), "left_anti")
+        .join(keys(b, "b_id", "b_nat", "b_bal", "b_name", "b_seg", Seq("cls")), "bk")
         .filter(abs(col("a_id_bal") - col("b_id_bal")) <= 0.0501 &&
           abs(col("a_id_len") - col("b_id_len")) <= 1 &&
           (col("b_id_seg") === "UNKNOWN" || col("a_id_seg") === col("b_id_seg")))
-        .select("a_id", "b_id").distinct()
-      val scored = cand
-        .join(a, "a_id").join(b, "b_id")
-        .withColumn("lev", levenshtein(lower(col("a_name")), lower(col("b_name"))))
+        .withColumn("lev", levenshtein(col("a_id_lname"), col("b_id_lname"), 2))
         .withColumn("sc",
           when(col("lev") === 0, 4).when(col("lev") === 1, 2)
             .when(col("lev") === 2, 0).otherwise(-99)
-          + when(col("b_seg") === "UNKNOWN", 0)
-            .when(col("a_seg") === col("b_seg"), 1).otherwise(-3)
-          + when(abs(col("a_bal") - col("b_bal")) <= 0.0501, 3).otherwise(-3))
-      val best = scored
-        .withColumn("rn", row_number().over(Window.partitionBy("b_id")
-          .orderBy(col("sc").desc, col("lev"), col("a_id"))))
-        .filter(col("rn") === 1 && col("sc") >= 5)
-        .select(col("b_id").as("pb"), col("a_id").as("pa"), col("cls").as("pcls"))
+          + when(col("b_id_seg") === "UNKNOWN", 0)
+            .when(col("a_id_seg") === col("b_id_seg"), 1).otherwise(-3)
+          + when(abs(col("a_id_bal") - col("b_id_bal")) <= 0.0501, 3).otherwise(-3))
+      val best = pairs.groupBy("b_id")
+        .agg(min(struct((-col("sc")).as("nsc"), col("lev").as("lv"),
+          col("a_id").as("aid"))).as("m"), min(col("cls")).as("pcls"))
+        .filter(col("m.nsc") <= -5)
+        .select(col("b_id").as("pb"), col("m.aid").as("pa"), col("pcls"))
       val perCls = b.groupBy("cls").agg(count(lit(1)).as("n_records"))
         .join(best.groupBy("pcls").agg(count(lit(1)).as("n_predicted"),
           sum(when(col("pa") === col("pb") - 10000000L, 1L).otherwise(0L))
