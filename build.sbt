@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1's GCLocker + parquet/netty JNI critical sections can abort a
+  // heap-marginal task with "Retried waiting for GCLocker too often"
+  // (observed killing q221's sf10 peel); retrying the allocation is
+  // strictly safer than dying
+  "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -18,4 +18,5 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -XX:GCLockerRetryAllocationCount=100 \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
