@@ -30,6 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // G1's GCLocker + parquet/netty JNI critical sections can abort a
   // heap-marginal task with "Retried waiting for GCLocker too often"
   // (observed killing q221's sf10 peel); retrying the allocation is
-  // strictly safer than dying
+  // strictly safer than dying. The retry count is a DIAGNOSTIC flag
+  // on JDK 17 — without the unlock the JVM refuses to start at all.
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -100,5 +100,7 @@ object Q {
       queries.CorpusOps5.all ++
       queries.IvmOps.all ++
       queries.SearchOps4.all ++
-      queries.StorageOps2.all
+      queries.StorageOps2.all ++
+      queries.GraphOps3.all ++
+      queries.CurationOps10.all
 }

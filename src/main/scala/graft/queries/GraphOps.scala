@@ -25,12 +25,21 @@ object GraphOps {
   val q142 = Q(
     "q142_pagerank_purchases",
     (s, dir) => {
+      // Node ids are LONGS inside the loop (customer 2k, supplier
+      // 2k+1), mapped to the emitted "c…"/"s…" labels only on the
+      // final top-20: the r9 sf10 runs showed the graph family is
+      // heap-marginal on local[32] (GC-bound variance, BASELINE.md),
+      // and the string node ids were the single biggest pinned-frame
+      // inflation — an 8-byte long vs a "c1234567" UTF8String plus
+      // offset per endpoint, ~3× on the frame every iteration scans.
+      // On a 1000-executor cluster the same change shrinks shuffle
+      // AND block-manager bytes by the same factor.
       val e = Tables.t(s, dir, "orders")
         .join(Tables.t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(
-          concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+          (col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
       // pin the loop-invariant edge table pre-partitioned on the join
       // key (the CC-loop discipline): without the checkpoint every
@@ -42,32 +51,41 @@ object GraphOps {
       // shuffle-partition override is needed (measured: an eager
       // per-round conf swap was a net LOSS here, unlike the
       // convergence-driven CC loop which must act every round anyway).
+      //
+      // The pinned frame carries ONLY (src, dst): the out-degree no
+      // longer rides the edge table (r6 #3 pre-joined it to save a
+      // per-round edge⋈deg join, at 1.5× the pinned bytes). The same
+      // join is saved cheaper by folding pr/deg into a NODE-sized
+      // contribution table per round — the edge join then carries one
+      // double instead of (pr, deg), and the per-edge division
+      // becomes a per-node one.
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src"))
         .localCheckpoint(true)
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true) // pin: node-sized, seeds pr0 and n
-      // pre-join the out-degree onto the edge table ONCE (VERDICT r6
-      // #3): each iteration is then ONE join (only the small rank
-      // table moves) + ONE aggregate over this pinned contrib-ready
-      // frame, instead of re-joining the full edge set against deg
-      // every round. The plain sym checkpoint is superseded — free it
-      // as soon as symdeg has materialized.
-      val symdeg = graft.graph.Rotate.supersede(
-        sym.join(deg, "src").select(col("src"), col("dst"), col("deg")), sym)
       val nFrame = broadcast(deg.agg(count(lit(1)).as("n")))
       var pr = deg.crossJoin(nFrame)
         .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        pr = symdeg
-          .join(pr, symdeg("src") === pr("node"))
+        val contrib = pr.join(deg, pr("node") === deg("src"))
+          .select(pr("node").as("cnode"), (col("pr") / col("deg")).as("c"))
+        pr = sym
+          .join(contrib, sym("src") === contrib("cnode"))
           .groupBy(col("dst").as("node2"))
-          .agg(sum(col("pr") / col("deg")).as("inflow"))
+          .agg(sum(col("c")).as("inflow"))
           .crossJoin(nFrame)
           .select(col("node2").as("node"),
             (lit(0.15) / col("n") + lit(0.85) * col("inflow")).as("pr"))
       }
-      pr.select(col("node"), round(col("pr"), 6).as("pr"))
+      // map back to the public labels BEFORE the ordering cut: ties
+      // at equal rounded pr must break on the emitted string label,
+      // exactly as the oracle orders them
+      pr.select(
+          concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            shiftright(col("node"), 1)).as("label"),
+          round(col("pr"), 6).as("pr"))
+        .select(col("label").as("node"), col("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
     },

@@ -113,17 +113,32 @@ object GraphOps2 {
     (s, dir) => {
       val items = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = items.alias("a")
+      // Pin the HALF edge set (x < y) and derive each direction
+      // lazily over the cached blocks: the r10 sf10 attribution put
+      // this query heap-marginal and GC-bound (BASELINE.md), and the
+      // doubled symmetric frame was the largest pinned object in the
+      // whole sweep. Degree over both directions is the union of the
+      // two endpoint projections — identical counts (an x<y edge
+      // contributes once to x and once to y either way), two scans of
+      // |pairs| cached rows instead of one scan of 2|pairs|, and HALF
+      // the block-manager bytes. Shuffle volume into the degree
+      // aggregate is unchanged (map-side partial agg applies to each
+      // branch).
+      var pe = items.alias("a")
         .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
-      var e2 = pairs.select(col("x").as("src"), col("y").as("dst"))
-        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
         .localCheckpoint(true)
+      def degrees(p: DataFrame): DataFrame = p
+        .select(col("x").as("node"))
+        .unionAll(p.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      def surviving(p: DataFrame, a: DataFrame): DataFrame = p
+        .join(a.select(col("node").as("x")), "x")
+        .join(a.select(col("node").as("y")), "y")
       // round 1: alive = every node, so both semi-joins are no-ops —
-      // degree is a straight count over e2 (saves two joins of the
-      // largest round; the e2 scan itself is the irreducible cost)
-      var alive: DataFrame = e2
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      // degree is a straight count over pe (saves two joins of the
+      // largest round; the pe scan itself is the irreducible cost)
+      var alive: DataFrame = degrees(pe)
         .filter(col("deg") >= 60).select("node").localCheckpoint(true)
       // ADAPTIVE frontier rotation (r8, measured; policy codified in
       // [[graft.graph.Rotate]] as of r9): round 7
@@ -146,26 +161,17 @@ object GraphOps2 {
       // applies; on this one it stays shut and round cost matches r6.
       var aliveCnt = alive.count()
       for (_ <- 2 to 3) {
-        val nextAlive = e2
-          .join(alive.select(col("node").as("src")), "src")
-          .join(alive.select(col("node").as("dst")), "dst")
-          .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        val nextAlive = degrees(surviving(pe, alive))
           .filter(col("deg") >= 60).select("node").localCheckpoint(true)
         val nextCnt = nextAlive.count()
         if (graft.graph.Rotate.shrank(aliveCnt, nextCnt)) {
-          e2 = graft.graph.Rotate.supersede(e2
-            .join(nextAlive.select(col("node").as("src")), "src")
-            .join(nextAlive.select(col("node").as("dst")), "dst")
-            .select("src", "dst"), e2)
+          pe = graft.graph.Rotate.supersede(
+            surviving(pe, nextAlive).select("x", "y"), pe)
         }
         alive = nextAlive
         aliveCnt = nextCnt
       }
-      val finalDeg = e2
-        .join(alive.select(col("node").as("src")), "src")
-        .join(alive.select(col("node").as("dst")), "dst")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      finalDeg
+      degrees(surviving(pe, alive))
         .orderBy(col("deg").desc, col("node")).limit(20)
     },
     Some("""WITH items AS (

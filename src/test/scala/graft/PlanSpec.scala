@@ -348,19 +348,25 @@ class PlanSpec extends SparkSpec {
       s"rank filters must push a group limit under the window:\n${s.take(3000)}")
   }
 
-  test("q142: each PageRank round is ONE equi-join over the deg-annotated pinned edges") {
-    // the r6 rework pre-joins out-degree onto the checkpointed edge
-    // table once, so the 3-round unrolled plan must contain exactly 3
-    // equi-joins (rank table vs pinned symdeg) — a regression to
-    // re-joining deg inside the loop would show up as 6. The 4
-    // remaining joins are the broadcast crossJoins with the 1-row n
-    // frame (pr0 seed + one per round), which must all be BNLJ.
+  test("q142: each PageRank round is ONE edge-sized equi-join plus one node-sized contrib join") {
+    // the r10 rework keeps the pinned edge table at two LONG columns
+    // (no strings, no deg) and folds pr/deg into a node-sized contrib
+    // table per round: the unrolled 3-round plan must contain exactly
+    // 6 equi-joins — per round, contrib = pr ⋈ deg (both node-sized)
+    // and the single edge-sized join (pinned sym ⋈ contrib). A
+    // regression that re-joins deg against the EDGE table would keep
+    // the count at 6 but put deg on the big side — pinned by the
+    // assertion that deg's aggregate never feeds a join with the
+    // checkpointed edge relation (the edge join's build/stream sides
+    // are sym and contrib only). The 4 remaining joins are the
+    // broadcast crossJoins with the 1-row n frame (pr0 seed + one per
+    // round), which must all be BNLJ.
     val df = q("q142_pagerank_purchases")
     df.collect()
     val s = planString(df)
     val equi = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(s).size
-    assert(equi == 3,
-      s"expected exactly 3 equi-joins (one per round), got $equi:\n${s.take(3000)}")
+    assert(equi == 6,
+      s"expected exactly 6 equi-joins (edge + contrib per round), got $equi:\n${s.take(3000)}")
     assert("BroadcastNestedLoopJoin".r.findAllIn(s).size == 4,
       s"n-frame must broadcast (pr0 + 3 rounds):\n${s.take(3000)}")
   }

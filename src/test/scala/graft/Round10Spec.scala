@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver recomputations + invariants for the round-10 wave:
+  * q271 brand modularity, q272 l-diversity, q273 PSI,
+  * q274 water-filling, q275 Adamic–Adar.
+  */
+class Round10Spec extends SparkSpec {
+
+  private def coPairs: Array[(Long, Long)] = {
+    val items = Tables.t(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toArray.distinct
+  }
+
+  test("q271 modularity equals a driver recompute and sums structurally") {
+    val out = Q.byName("q271_brand_modularity").fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pairs = coPairs
+    val brand = Tables.t(spark, sf(), "part")
+      .select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = pairs.length.toDouble
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dSum = deg.toSeq.groupBy { case (n, _) => brand(n) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val lIn = pairs.filter { case (x, y) => brand(x) == brand(y) }
+      .groupBy { case (x, _) => brand(x) }.view.mapValues(_.length.toLong).toMap
+    // every brand's exact integers must match; contribution to 1e-8
+    for ((b, l, d, q) <- out) {
+      assert(l == lIn.getOrElse(b, 0L), s"$b l_in")
+      assert(d == dSum(b), s"$b d_sum")
+      val want = l / m - math.pow(d / (2 * m), 2)
+      assert(math.abs(q - want) < 1e-7, s"$b q_contrib $q vs $want")
+    }
+    // partition identities: Σ D_c = 2m, Σ L_c ≤ m
+    assert(out.map(_._3).sum == 2 * pairs.length)
+    assert(out.map(_._2).sum <= pairs.length)
+  }
+
+  test("q275 Adamic–Adar equals a driver recompute of the top-20") {
+    val out = Q.byName("q275_adamic_adar_links").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val items = Tables.t(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scored = items.groupBy(_._1).values.filter(_.size >= 2).flatMap { b =>
+      val w = 1.0 / math.log(b.size)
+      val ps = b.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield ((ps(i), ps(j)), w)
+    }.toSeq.groupBy(_._1).view
+      .mapValues(ws => (ws.size.toLong, ws.map(_._2).sum)).toSeq
+      .map { case ((x, y), (n, aa)) =>
+        (x, y, n, BigDecimal(aa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (x, y, _, aa) => (-aa, x, y) }.take(20)
+    assert(out.toSeq == scored, s"spark ${out.take(3).toSeq} vs driver ${scored.take(3)}")
+  }
+
+  test("q272 entropy l-diversity is consistent and strictly stronger than distinct-l") {
+    val out = Q.byName("q272_l_diversity_audit").fn(spark, sf()).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, l, h) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      val (dOk, eOk) = (r.getBoolean(5), r.getBoolean(6))
+      assert(l >= 1 && l <= n)
+      // 0 ≤ H ≤ ln(l_distinct): entropy is maximal for the uniform law
+      assert(h >= -1e-9 && h <= math.log(l.toDouble) + 1e-6, s"H=$h l=$l")
+      assert(dOk == (l >= 3))
+      // entropy l-diversity ⇒ distinct l-diversity, never the reverse
+      if (eOk) assert(dOk, s"entropy-ok group must be distinct-ok: $r")
+    }
+  }
+
+  test("q273 PSI contributions are nonnegative on a full 12-bin spine") {
+    val out = Q.byName("q273_psi_release_drift").fn(spark, sf()).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L to 11L),
+      "exactly one row per band, in order")
+    val (pb, pn) = (out.map(_.getDouble(3)).sum, out.map(_.getDouble(4)).sum)
+    assert(math.abs(pb - 1.0) < 1e-4 && math.abs(pn - 1.0) < 1e-4,
+      s"smoothed masses must each sum to 1: $pb / $pn")
+    // (p−q)·ln(p/q) ≥ 0 pointwise — a negative contribution is a math bug
+    assert(out.forall(_.getDouble(5) >= -1e-12))
+  }
+
+  test("q274 water-filling funds the budget exactly with a max-min fair level") {
+    val out = Q.byName("q274_token_budget_waterfill").fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val total = out.map(_._2).sum
+    val budget = total * 3 / 5
+    val allocSum = out.map(_._3).sum
+    // Σ min(avail, t) = B up to the per-row 1e-4 rounding
+    assert(math.abs(allocSum - budget) < 1e-4 * out.length + 1e-6,
+      s"allocations $allocSum must fund the budget $budget")
+    for ((src, avail, alloc, capped) <- out) {
+      assert(alloc <= avail + 1e-6, s"$src overfunded")
+      if (capped) assert(alloc == avail.toDouble, s"$src capped ⇒ fully funded")
+    }
+    // uncapped sources all sit AT the water level (max-min fairness)
+    val levels = out.filterNot(_._4).map(_._3).distinct
+    assert(levels.length <= 1, s"one water level, got $levels")
+    // and the level exceeds every capped source's availability
+    if (levels.nonEmpty)
+      assert(out.filter(_._4).forall(_._2 <= levels.head + 1e-6))
+  }
+}

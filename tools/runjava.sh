@@ -18,5 +18,6 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -XX:+UnlockDiagnosticVMOptions \
   -XX:GCLockerRetryAllocationCount=100 \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
