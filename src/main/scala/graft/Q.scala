@@ -102,5 +102,6 @@ object Q {
       queries.SearchOps4.all ++
       queries.StorageOps2.all ++
       queries.GraphOps3.all ++
-      queries.CurationOps10.all
+      queries.CurationOps10.all ++
+      queries.SearchOps5.all
 }

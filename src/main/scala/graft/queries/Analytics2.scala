@@ -420,16 +420,20 @@ object Analytics2 {
   val q162 = Q(
     "q162_triangle_count",
     (s, dir) => {
+      // pin li before the self-join (both aliases otherwise re-run
+      // the fact-table distinct), rotate the pin onto the edge frame
       val li = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val e = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
-          col("ok") === col("ok2") && col("pk") < col("pk2"))
-        .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-        .select("pa", "pb")
-        .localCheckpoint(true) // three self-references below
+        .localCheckpoint(true)
+      val e = graft.graph.Rotate.supersede(
+        li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+            col("ok") === col("ok2") && col("pk") < col("pk2"))
+          .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("pa", "pb"),
+        li) // three self-references below
       e.join(e.select(col("pa").as("qa"), col("pb").as("qb")),
           col("pb") === col("qa"))
         .join(e.select(col("pa").as("ra"), col("pb").as("rb")),
@@ -459,16 +463,19 @@ object Analytics2 {
   val q163 = Q(
     "q163_clustering_coefficient",
     (s, dir) => {
+      // q162's pin+rotate discipline, same graph
       val li = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val e = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
-          col("ok") === col("ok2") && col("pk") < col("pk2"))
-        .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-        .select("pa", "pb")
         .localCheckpoint(true)
+      val e = graft.graph.Rotate.supersede(
+        li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
+            col("ok") === col("ok2") && col("pk") < col("pk2"))
+          .groupBy(col("pk").as("pa"), col("pk2").as("pb"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("pa", "pb"),
+        li)
       val tri = e.join(e.select(col("pa").as("qa"), col("pb").as("qb")),
           col("pb") === col("qa"))
         .join(e.select(col("pa").as("ra"), col("pb").as("rb")),
@@ -529,9 +536,12 @@ object Analytics2 {
   val q164 = Q(
     "q164_item_similarity",
     (s, dir) => {
+      // pinned WITHOUT rotation: li is read again after the pair
+      // build (the per-part counts), so the pin must outlive it
       val li = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true)
       val pairs = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
           col("ok") === col("ok2") && col("pk") < col("pk2"))
         .groupBy(col("pk").as("pa"), col("pk2").as("pb"))

@@ -78,9 +78,14 @@ object Analytics3 {
   val q215 = Q(
     "q215_association_rules",
     (s, dir) => {
+      // pin the distinct basket items ONCE (r10): the frame feeds the
+      // order count, the per-item supports, and BOTH sides of the
+      // within-order self-join — unpinned, the fact-table distinct
+      // (the query's dominant shuffle) re-ran four times
       val li = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true)
       val nOrders = li.select("ok").distinct().count()
       val item = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val pairs = li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),

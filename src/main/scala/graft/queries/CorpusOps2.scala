@@ -172,11 +172,19 @@ object CorpusOps2 {
     (s, dir) => {
       graft.functions.MinHashSig.register(s)
       graft.functions.SetOps.register(s)
+      // pin the token sets and both derived per-doc frames (r10): the
+      // plan reads each along two branches (probe side + corpus
+      // side), and unpinned the regex tokenization re-ran ~5× and the
+      // per-token 16-hash MinHash twice over the full corpus — the
+      // q209/q228 recompute pattern
       val ts = docs(s, dir).filter(col("lang") === "en")
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) >= 1)
+        .localCheckpoint(true)
       val sigs = ts.select(col("doc_id"), expr("minhash_sig(toks, 16)").as("sig"))
+        .localCheckpoint(true)
       val th = ts.select(col("doc_id"), Portable.md5Sorted(col("toks")).as("th"))
+        .localCheckpoint(true)
       // The probe side is a FIXED-SIZE sample (~300 docs), not a
       // fixed fraction: `doc_id % 20` made the pair space 0.05·n² —
       // quadratic, measured 16x cost at 10x data. The modulus scales

@@ -25,18 +25,30 @@ object CorpusOps4 {
   val q231 = Q(
     "q231_apriori_triples",
     (s, dir) => {
+      // pin the distinct items before deriving L1 and the frequent
+      // subset from it (the fact-table distinct otherwise runs twice),
+      // then release the pin once fi — the only frame scanned after
+      // this point — has materialized (Rotate rule 1)
       val items = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true)
       val l1 = items.groupBy("p").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 4).select("p")
-      val fi = items.join(l1, Seq("p"), "left_semi")
-        .localCheckpoint(true) // scanned three times below
+      val fi = graft.graph.Rotate.supersede(
+        items.join(l1, Seq("p"), "left_semi"), items) // scanned three times below
       val pairs = fi.alias("a")
         .join(fi.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.o").as("o"), col("a.p").as("x"), col("b.p").as("y"))
       val l2 = pairs.groupBy("x", "y").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select("x", "y")
         .localCheckpoint(true) // three semi-join probes below
+      // the (x,y) L2 prune stays POST-extend with the other two: the
+      // pair stream leaves its generation keyed by o, which is
+      // exactly the extend join's key — pruning it first was measured
+      // 2× SLOWER at sf10 (r10: the semi-join reroutes the largest
+      // frame through an (x,y) shuffle and the extend join then
+      // shuffles it straight back to o; l2 is Θ(frequent pairs), far
+      // past broadcast size at scale, so no plan avoids that bounce)
       val triples = pairs.alias("ab")
         .join(fi.alias("c"),
           col("ab.o") === col("c.o") && col("ab.y") < col("c.p"))
@@ -240,11 +252,19 @@ object CorpusOps4 {
       val docs = Tables.docs(s, dir).filter(col("lang") === "en")
       val toksH = docs
         .select(col("doc_id"), P.md5Sorted(P.tokenSet(col("text"))).as("th"))
+        .localCheckpoint(true)
       val sh = docs.filter(length(col("text")) >= 8)
         .select(col("doc_id"), explode(expr("char_shingle_hashes(text, 8)")).as("h"))
       val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 10).select("h")
+      // pin the rare-anchored subset (both self-join sides otherwise
+      // re-explode the full shingle set) and the verify arrays (read
+      // by both candidate endpoints). `sh` itself stays UNPINNED by
+      // choice: at corpus scale it is Θ(total chars) rows and the
+      // codegen'd shingle kernel recomputes cheaper than that spills;
+      // it is derived exactly twice (df counts + anchor filter).
       val anchored = sh.join(rare, Seq("h"), "left_semi")
+        .localCheckpoint(true)
       val cand = anchored.alias("a")
         .join(anchored.alias("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -206,5 +206,72 @@ object CurationOps10 {
       |FROM capped
       |ORDER BY source""".stripMargin))
 
-  val all: Vector[Q] = Vector(q272, q273, q274)
+  /** Freedman–Diaconis auto-binned price histogram: bin width
+    * 2·IQR/n^(1/3) — the distribution-aware binning q94/q213's fixed
+    * grids approximate by hand, computed so the bin count adapts to
+    * the data (Θ(n^(1/3)) bins) instead of being a magic constant.
+    *
+    * Exactness: everything upstream of the one bin-width division is
+    * integer — prices in exact cents, the quartiles as TYPE-1 ORDER
+    * STATISTICS (min cent with cumulative count ≥ ⌈q·n⌉; never an
+    * interpolating percentile(), the q260 cross-engine hazard), and
+    * q·n is exact in IEEE because 0.25/0.75 are dyadic. The cumsum
+    * that selects the quartiles runs over the DISTINCT-cents
+    * histogram via [[graft.functions.Dist.globalCumsumBy]] — the
+    * bucket-partitioned two-phase cumsum, never a single-partition
+    * window (at 100 TB the distinct-price table is itself big). The
+    * width division 2·IQR/n^(1/3) is one double op whose ceil both
+    * engines compute from identical inputs; driver sees exactly two
+    * scalar rows (n+min, then the quartile pair) — bounded.
+    */
+  val q277 = Q(
+    "q277_fd_histogram",
+    (s, dir) => {
+      val cents = Tables.t(s, dir, "orders")
+        .select((col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("c"))
+      val Array(nRow) = cents.agg(count(lit(1)).as("n"), min("c").as("mn"))
+        .collect()
+      val (n, mn) = (nRow.getLong(0), nRow.getLong(1))
+      val hist = cents.groupBy("c").agg(count(lit(1)).as("cnt"))
+      val cum = graft.functions.Dist.globalCumsumBy(
+        hist, Seq(col("c")), Seq("cnt"), 32)
+      val k25 = math.ceil(0.25 * n).toLong
+      val k75 = math.ceil(0.75 * n).toLong
+      val Array(qRow) = cum.agg(
+        min(when(col("cnt_cum") >= k25, col("c"))).as("q1"),
+        min(when(col("cnt_cum") >= k75, col("c"))).as("q3")).collect()
+      val iqr = qRow.getLong(1) - qRow.getLong(0)
+      val w = math.max(1L, math.ceil(2.0 * iqr / math.pow(n, 1.0 / 3)).toLong)
+      cents.groupBy(((col("c") - mn) / w).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("bin"), (lit(mn) + col("bin") * w).as("lo_cents"),
+          (lit(mn) + (col("bin") + 1) * w).as("hi_cents"), col("n_rows"))
+        .orderBy("bin")
+    },
+    // (c - mn) / w: both engines' `/` on integers would promote to
+    // double — the SQL uses // and Spark casts the true division,
+    // exact for these magnitudes (cents < 2^53); ⌈q·n⌉ is exact
+    // because 0.25/0.75 are dyadic
+    Some("""WITH cents AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |tot AS (SELECT count(*) AS n, min(c) AS mn FROM cents),
+      |hist AS (SELECT c, count(*) AS cnt FROM cents GROUP BY 1),
+      |cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM hist),
+      |q AS (SELECT
+      |    min(CASE WHEN cum >= ceil(0.25 * (SELECT n FROM tot)) THEN c END) AS q1,
+      |    min(CASE WHEN cum >= ceil(0.75 * (SELECT n FROM tot)) THEN c END) AS q3
+      |  FROM cum),
+      |bw AS (SELECT greatest(1, CAST(ceil(2.0 * (q3 - q1)
+      |    / pow((SELECT n FROM tot), 1.0 / 3)) AS BIGINT)) AS w FROM q)
+      |SELECT bin, (SELECT mn FROM tot) + bin * (SELECT w FROM bw) AS lo_cents,
+      |  (SELECT mn FROM tot) + (bin + 1) * (SELECT w FROM bw) AS hi_cents,
+      |  count(*) AS n_rows
+      |FROM (SELECT (c - (SELECT mn FROM tot)) // (SELECT w FROM bw) AS bin
+      |      FROM cents)
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin))
+
+  val all: Vector[Q] = Vector(q272, q273, q274, q277)
 }

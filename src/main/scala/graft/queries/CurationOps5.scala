@@ -228,10 +228,21 @@ object CurationOps5 {
         .agg(collect_list("doc_id").as("ids"), count(lit(1)).as("c"))
         .filter(col("c") >= 2)
         .select(explode(col("ids")).as("doc_id")).distinct()
+      // pin every derived frame the plan reads from BOTH sides of a
+      // self-join or along multiple method branches (r10): without
+      // the checkpoints the regex tokenization re-runs ~6× (toks
+      // feeds toksH/sigs/sim, each referenced twice), the per-token
+      // 16-hash MinHash twice, and the md5-sorted verify arrays
+      // twice — all recompute, no ReusedExchange (the branches'
+      // exchange subtrees differ). Each pinned frame is Θ(docs) rows
+      // of ids/hashes, the same block-manager class as `en` itself.
       val toks = en.select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+        .localCheckpoint(true)
       val toksH = toks.select(col("doc_id"), Portable.md5Sorted(col("toks")).as("th"))
+        .localCheckpoint(true)
       val sigs = toks
         .select(col("doc_id"), explode(expr("minhash_bands(toks, 2, 8)")).as("sig"))
+        .localCheckpoint(true)
       val mpairs = sigs.alias("sa").hint("shuffle_hash")
         .join(sigs.alias("sb"),
           col("sa.sig") === col("sb.sig") && col("sa.doc_id") < col("sb.doc_id"))
@@ -247,6 +258,7 @@ object CurationOps5 {
       val banded = sim
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("byte", expr("(sh div CAST(pow(2, band * 8) AS BIGINT)) % 256"))
+        .localCheckpoint(true) // both sides of the byte-bucket self-join
       val spairs = banded.alias("x").hint("shuffle_hash")
         .join(banded.alias("y"),
           col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&

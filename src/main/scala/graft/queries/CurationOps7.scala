@@ -206,7 +206,16 @@ object CurationOps7 {
   val q228 = Q(
     "q228_bloom_decontaminate",
     (s, dir) => {
-      val sh = Tables.docs(s, dir)
+      // pin the shingled frame ONCE: the query reads it along four
+      // branches (bloom bits, eval hashes, candidate probe, per-doc
+      // shingle counts), and without the checkpoint each branch
+      // re-tokenizes, re-explodes and re-distincts the full corpus —
+      // the sf0.01 plan showed 12 parquet scans and ZERO reused
+      // exchanges (the eval/train filters sit below the distinct, so
+      // the exchange subtrees never match). Only (doc_id, h) is
+      // pinned; the bloom bit columns are two-instruction bit ops
+      // recomputed per scan of the cached blocks.
+      val sh0 = Tables.docs(s, dir)
         .select(col("doc_id"), P.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"), explode(expr(
@@ -214,10 +223,12 @@ object CurationOps7 {
           .as("g"))
         .select(col("doc_id"), P.md5Long(col("g")).as("h"))
         .distinct()
-        // true integer bit extraction (h is a non-negative 60-bit
-        // hash): shiftright+mask, never `/` — both engines' `/`
-        // promote to IEEE double, whose 53-bit mantissa would bend
-        // b2/b3 near rounding boundaries (ADVICE r6)
+        .localCheckpoint(true)
+      // true integer bit extraction (h is a non-negative 60-bit
+      // hash): shiftright+mask, never `/` — both engines' `/`
+      // promote to IEEE double, whose 53-bit mantissa would bend
+      // b2/b3 near rounding boundaries (ADVICE r6)
+      val sh = sh0
         .withColumn("b1", col("h").bitwiseAND(lit(65535L)))
         .withColumn("b2", shiftright(col("h"), 16).bitwiseAND(lit(65535L)))
         .withColumn("b3", shiftright(col("h"), 32).bitwiseAND(lit(65535L)))

@@ -34,6 +34,8 @@ object GraphOps {
       // offset per endpoint, ~3× on the frame every iteration scans.
       // On a 1000-executor cluster the same change shrinks shuffle
       // AND block-manager bytes by the same factor.
+      // pinned before the symmetric union (both branches otherwise
+      // re-run the join+distinct), released once sym materializes
       val e = Tables.t(s, dir, "orders")
         .join(Tables.t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
@@ -41,6 +43,7 @@ object GraphOps {
           (col("o_custkey").cast("long") * 2).as("src"),
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
+        .localCheckpoint(true)
       // pin the loop-invariant edge table pre-partitioned on the join
       // key (the CC-loop discipline): without the checkpoint every
       // iteration's LAZY plan re-derives orders⋈lineitem→distinct from
@@ -59,9 +62,10 @@ object GraphOps {
       // contribution table per round — the edge join then carries one
       // double instead of (pr, deg), and the per-edge division
       // becomes a per-node one.
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
-        .localCheckpoint(true)
+      val sym = graft.graph.Rotate.supersede(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")),
+        e)
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         .localCheckpoint(true) // pin: node-sized, seeds pr0 and n
       val nFrame = broadcast(deg.agg(count(lit(1)).as("n")))

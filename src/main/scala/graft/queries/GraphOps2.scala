@@ -124,10 +124,15 @@ object GraphOps2 {
       // the block-manager bytes. Shuffle volume into the degree
       // aggregate is unchanged (map-side partial agg applies to each
       // branch).
-      var pe = items.alias("a")
-        .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
-        .localCheckpoint(true)
+      // pin items before the self-join (both aliases otherwise re-run
+      // the fact-table distinct), release it once the pair frame —
+      // the only thing the peel reads — has materialized
+      val itemsP = items.localCheckpoint(true)
+      var pe = graft.graph.Rotate.supersede(
+        itemsP.alias("a")
+          .join(itemsP.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+        itemsP)
       def degrees(p: DataFrame): DataFrame = p
         .select(col("x").as("node"))
         .unionAll(p.select(col("y").as("node")))

@@ -34,12 +34,16 @@ object GraphOps3 {
   val q271 = Q(
     "q271_brand_modularity",
     (s, dir) => {
+      // pin items before the self-join (both aliases otherwise re-run
+      // the fact-table distinct), rotate the pin onto the pair frame
       val items = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pairs = items.alias("a")
-        .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
-        .localCheckpoint(true) // consumed 3× below (m, deg, L_c)
+        .localCheckpoint(true)
+      val pairs = graft.graph.Rotate.supersede(
+        items.alias("a")
+          .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+        items) // consumed 3× below (m, deg, L_c)
       val brand = Tables.t(s, dir, "part")
         .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
       val m = pairs.count()
@@ -100,12 +104,18 @@ object GraphOps3 {
   val q275 = Q(
     "q275_adamic_adar_links",
     (s, dir) => {
+      // pin items (read 3×: basket sizes + both self-join sides via
+      // `weighted`), rotate the pin onto the weighted frame the
+      // self-join actually scans
       val items = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val weighted = items
-        .join(items.groupBy("o").agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") >= 2), "o")
-        .withColumn("w", lit(1.0) / log(col("bsz")))
+        .localCheckpoint(true)
+      val weighted = graft.graph.Rotate.supersede(
+        items
+          .join(items.groupBy("o").agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") >= 2), "o")
+          .withColumn("w", lit(1.0) / log(col("bsz"))),
+        items)
       weighted.alias("a")
         .join(weighted.alias("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))

@@ -132,8 +132,14 @@ object TextOps {
     (s, dir) => {
       graft.functions.Md5Long60.register(s)
       graft.functions.SetOps.register(s)
+      // toks/toksH/sigs pinned (r10): each is read along two branches
+      // (signature self-join sides, candidate verify endpoints) and
+      // unpinned the regex tokenization ran 4× and the per-token
+      // MinHash twice — the q209/q228 recompute pattern; all three
+      // frames are Θ(docs) rows of ids/hashes
       val toks = docs(s, dir).filter(col("lang") === "en")
         .select(col("doc_id"), Portable.tokenSet(col("text")).as("toks"))
+        .localCheckpoint(true)
       // verify-side token sets as SORTED 60-bit hashes: set sizes
       // (and thus Jaccard) are unchanged, but the 520k-pair verify
       // stage becomes one codegen'd merge scan per pair over
@@ -142,6 +148,7 @@ object TextOps {
       // the whole pipeline at sf0.1)
       val toksH = toks.select(col("doc_id"),
         Portable.md5Sorted(col("toks")).as("toks"))
+        .localCheckpoint(true)
       // The whole signature matrix (16 min-hashes → 2 band sigs) is
       // ONE codegen'd pass per row ([[graft.functions.MinHashBands]]
       // — the HOF formulation interprets ~16×|toks| lambdas per doc):
@@ -153,6 +160,7 @@ object TextOps {
       graft.functions.MinHashBands.register(s)
       val sigs = toks
         .select(col("doc_id"), explode(expr("minhash_bands(toks, 2, 8)")).as("sig"))
+        .localCheckpoint(true)
       val cand = sigs.alias("sa").hint("shuffle_hash")
         .join(sigs.alias("sb"),
           col("sa.sig") === col("sb.sig") &&

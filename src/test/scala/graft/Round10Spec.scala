@@ -108,4 +108,40 @@ class Round10Spec extends SparkSpec {
     if (levels.nonEmpty)
       assert(out.filter(_._4).forall(_._2 <= levels.head + 1e-6))
   }
+
+  test("q276 nDCG equals a driver recompute and respects its bounds") {
+    val out = Q.byName("q276_ndcg_retrieval_eval").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length == 10)
+    for ((qid, n2, n1, dcg, idcg, ndcg) <- out) {
+      assert(dcg <= idcg + 1e-9, s"q$qid dcg>idcg")
+      assert(ndcg > 0 && ndcg <= 1.0 + 1e-9, s"q$qid ndcg=$ndcg")
+      // idcg closed form: n2 twos then n1 ones down the 10-rank spine
+      val want = (1 to 10).map { r =>
+        val rel = if (r <= n2) 2 else if (r <= n2 + n1) 1 else 0
+        (math.pow(2, rel) - 1) / (math.log(r + 1) / math.log(2))
+      }.sum
+      assert(math.abs(idcg - want) < 1e-5, s"q$qid idcg $idcg vs $want")
+    }
+  }
+
+  test("q277 FD histogram partitions the table with the Freedman-Diaconis width") {
+    val out = Q.byName("q277_fd_histogram").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cents = Tables.t(spark, sf(), "orders")
+      .select((col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("c")).collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    // type-1 quartiles + the FD width, recomputed on the driver
+    val (q1, q3) = (cents(math.ceil(0.25 * n).toInt - 1),
+      cents(math.ceil(0.75 * n).toInt - 1))
+    val w = math.max(1L, math.ceil(2.0 * (q3 - q1) / math.pow(n, 1.0 / 3)).toLong)
+    assert(out.forall { case (_, lo, hi, _) => hi - lo == w },
+      s"every bin must be the FD width $w")
+    assert(out.map(_._4).sum == n, "bins must partition the table")
+    val byBin = cents.groupBy(c => (c - cents.head) / w).view.mapValues(_.length.toLong)
+    assert(out.forall { case (b, _, _, cnt) => byBin(b) == cnt },
+      "per-bin counts must match a driver recount")
+  }
 }
