@@ -273,5 +273,74 @@ object CurationOps10 {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin))
 
-  val all: Vector[Q] = Vector(q272, q273, q274, q277)
+  /** Pairwise Pearson correlation matrix over lineitem's four numeric
+    * features — the data-profiling pass an ML pipeline runs before
+    * feature selection. NOT the corr() builtin: the house rule for
+    * cross-engine float determinism is exact integer sums first, one
+    * float op last (q179's slope convention, extended to the full
+    * moment matrix). Every feature is integerized through the money
+    * convention (quantity as units, price in cents, discount/tax in
+    * basis points), all Σx/Σx²/Σxy accumulate in DECIMAL(38,0) —
+    * exact at 10¹² rows — and each of the six correlations is formed
+    * from those exact moments with two double ops (a division and a
+    * sqrt), then rounded. One corpus pass, one output row.
+    */
+  val q278 = Q(
+    "q278_feature_correlations",
+    (s, dir) => {
+      val f = Tables.t(s, dir, "lineitem").select(
+        col("l_quantity").cast("decimal(18,4)").cast("decimal(18,0)").as("q"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 100)
+          .cast("decimal(18,0)").as("p"),
+        (col("l_discount").cast("decimal(18,4)") * 10000)
+          .cast("decimal(18,0)").as("d"),
+        (col("l_tax").cast("decimal(18,4)") * 10000)
+          .cast("decimal(18,0)").as("t"))
+      val feats = Seq("q", "p", "d", "t")
+      val moments =
+        Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+          feats.map(a => sum(col(a)).cast("decimal(38,0)").as(s"s_$a")) ++
+          (for (a <- feats; b <- feats if a <= b)
+            yield sum(col(a) * col(b)).cast("decimal(38,0)").as(s"s_$a$b"))
+      def corr(a: String, b: String) = {
+        val (x, y) = if (a <= b) (a, b) else (b, a)
+        round(
+          (col("n") * col(s"s_$x$y") - col(s"s_$x") * col(s"s_$y")).cast("double")
+            / sqrt((col("n") * col(s"s_$x$x") - col(s"s_$x") * col(s"s_$x")).cast("double")
+              * (col("n") * col(s"s_$y$y") - col(s"s_$y") * col(s"s_$y")).cast("double")),
+          6).as(s"corr_${a}_$b")
+      }
+      f.agg(moments.head, moments.tail: _*)
+        .select(corr("q", "p"), corr("q", "d"), corr("q", "t"),
+          corr("p", "d"), corr("p", "t"), corr("d", "t"))
+    },
+    Some {
+      val defs = """SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS d,
+        |    CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS t
+        |  FROM lineitem""".stripMargin
+      val pairs = Seq("q" -> "p", "q" -> "d", "q" -> "t",
+        "p" -> "d", "p" -> "t", "d" -> "t")
+      val corrs = pairs.map { case (a, b) =>
+        // the Σab alias is stored under the alphabetically-normalized
+        // pair name, same as the Spark side
+        val (x, y) = if (a <= b) (a, b) else (b, a)
+        s"""round(CAST(n * s_$x$y - s_$a * s_$b AS DOUBLE)
+           |    / sqrt(CAST(n * s_$a$a - s_$a * s_$a AS DOUBLE)
+           |         * CAST(n * s_$b$b - s_$b * s_$b AS DOUBLE)), 6)
+           |    AS corr_${a}_$b""".stripMargin
+      }.mkString(",\n  ")
+      val sums = Seq("q", "p", "d", "t").map(a => s"sum($a) AS s_$a") ++
+        (for (a <- Seq("q", "p", "d", "t"); b <- Seq("q", "p", "d", "t") if a <= b)
+          yield s"sum($a * $b) AS s_$a$b")
+      s"""WITH f AS ($defs),
+         |m AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM f)
+         |SELECT
+         |  $corrs
+         |FROM m""".stripMargin
+    })
+
+  val all: Vector[Q] = Vector(q272, q273, q274, q277, q278)
 }

@@ -177,5 +177,74 @@ object IvmOps {
       |  (g.user_id IN (SELECT user_id FROM au)) AS was_affected
       |FROM g ORDER BY user_id, s_start""".stripMargin))
 
-  val all: Vector[Q] = Vector(q267, q269)
+  /** EXACT-distinct view maintenance via Spark's bitmap aggregates —
+    * the missing corner of the IVM family: q255 maintains distinct
+    * counts APPROXIMATELY (HLL registers merge by max), this one
+    * maintains them EXACTLY with the other classic mergeable state,
+    * per-(key, bucket) RoaringBitmap-style bitsets
+    * (bitmap_bucket_number / bitmap_bit_position /
+    * bitmap_construct_agg / bitmap_or_agg — all codegen'd Catalyst
+    * aggregates). Distinct customers per order priority: the snapshot
+    * half and the delta half each build their own bitmap state
+    * independently; the refresh OR-merges per (key, bucket) — set
+    * union, so merged == full recompute EXACTLY, which the oracle
+    * (count(DISTINCT) over everything) proves per key. State is
+    * Θ(keys × buckets × 4 KB) with buckets = ⌈id-domain/32768⌉,
+    * independent of fact-row count — and unlike the HLL the same
+    * state answers DELETES (bit clear) and intersections.
+    */
+  val q279 = Q(
+    "q279_bitmap_distinct_view_maintenance",
+    (s, dir) => {
+      val cut = to_date(lit("1997-07-01"))
+      val keyed = Tables.t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pr"), col("o_custkey").as("ck"),
+          (col("o_orderdate") < cut).as("is_snap"))
+      // per-half bitmap state: one bitmap per (key, half, id-bucket)
+      val state = keyed
+        .groupBy(col("pr"), col("is_snap"),
+          expr("bitmap_bucket_number(ck)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(ck))").as("bm"))
+        .localCheckpoint(true) // read 3×: both half counts + the merge
+      def halfCount(snap: Boolean) = state
+        .filter(col("is_snap") === snap)
+        .groupBy("pr")
+        .agg(sum(expr("bitmap_count(bm)")).cast("long")
+          .as(if (snap) "n_snap" else "n_delta"))
+      // the refresh: OR per (key, bucket) — set union, hence exact
+      val merged = state
+        .groupBy("pr", "bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("pr")
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_merged"),
+          count(lit(1)).as("n_state_buckets"))
+      halfCount(snap = true)
+        .join(halfCount(snap = false), Seq("pr"), "full_outer")
+        .join(merged, Seq("pr"), "full_outer")
+        .select(col("pr"), coalesce(col("n_snap"), lit(0L)).as("n_snap"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          col("n_merged"), col("n_state_buckets"))
+        .orderBy("pr")
+    },
+    // the oracle recomputes every count from scratch — hash equality
+    // IS the merged-equals-recomputed proof; bucket cardinality is
+    // the count of distinct floorDiv(ck−1, 32768) cells hit (Spark's
+    // bucket numbering is that floor division plus a constant shift;
+    // DuckDB's // truncates toward zero, so the floor() form is
+    // spelled out — ck = 0 lands in its own bucket)
+    Some("""WITH k AS (
+      |  SELECT o_orderpriority AS pr, o_custkey AS ck,
+      |         o_orderdate < DATE '1997-07-01' AS is_snap
+      |  FROM orders)
+      |SELECT pr,
+      |  CAST(count(DISTINCT CASE WHEN is_snap THEN ck END) AS BIGINT) AS n_snap,
+      |  CAST(count(DISTINCT CASE WHEN NOT is_snap THEN ck END) AS BIGINT) AS n_delta,
+      |  CAST(count(DISTINCT ck) AS BIGINT) AS n_merged,
+      |  CAST(count(DISTINCT CAST(floor((ck - 1) / 32768.0) AS BIGINT)) AS BIGINT)
+      |    AS n_state_buckets
+      |FROM k
+      |GROUP BY pr
+      |ORDER BY pr""".stripMargin))
+
+  val all: Vector[Q] = Vector(q267, q269, q279)
 }

@@ -144,4 +144,49 @@ class Round10Spec extends SparkSpec {
     assert(out.forall { case (b, _, _, cnt) => byBin(b) == cnt },
       "per-bin counts must match a driver recount")
   }
+
+  test("q278 correlations equal an exact-moment driver recompute") {
+    val row = Q.byName("q278_feature_correlations").fn(spark, sf()).collect()(0)
+    val feats = Tables.t(spark, sf(), "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 100).cast("long").as("p"),
+        (col("l_discount").cast("decimal(18,4)") * 10000).cast("long").as("d"),
+        (col("l_tax").cast("decimal(18,4)") * 10000).cast("long").as("t"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = BigInt(feats.length)
+    def s(i: Int) = feats.map(r => BigInt(r(i))).sum
+    def sxy(i: Int, j: Int) = feats.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+    val idx = Map("q" -> 0, "p" -> 1, "d" -> 2, "t" -> 3)
+    val pairs = Seq("q" -> "p", "q" -> "d", "q" -> "t", "p" -> "d", "p" -> "t", "d" -> "t")
+    pairs.zipWithIndex.foreach { case ((a, b), k) =>
+      val (i, j) = (idx(a), idx(b))
+      val want = (n * sxy(i, j) - s(i) * s(j)).toDouble /
+        math.sqrt((n * sxy(i, i) - s(i) * s(i)).toDouble *
+          (n * sxy(j, j) - s(j) * s(j)).toDouble)
+      val got = row.getDouble(k)
+      assert(math.abs(got) <= 1.0 + 1e-9, s"corr_${a}_$b out of range")
+      assert(math.abs(got - want) < 1e-5, s"corr_${a}_$b $got vs $want")
+    }
+  }
+
+  test("q279 bitmap merge equals exact distincts and bounds compose") {
+    val out = Q.byName("q279_bitmap_distinct_view_maintenance").fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rows = Tables.t(spark, sf(), "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        (col("o_orderdate") < to_date(lit("1997-07-01"))).as("is_snap"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val byPr = rows.groupBy(_._1)
+    assert(out.map(_._1).toSeq == byPr.keys.toSeq.sorted)
+    for ((pr, ns, nd, nm, nb) <- out) {
+      val g = byPr(pr)
+      assert(ns == g.filter(_._3).map(_._2).distinct.length, s"$pr n_snap")
+      assert(nd == g.filterNot(_._3).map(_._2).distinct.length, s"$pr n_delta")
+      assert(nm == g.map(_._2).distinct.length, s"$pr merged != exact distinct")
+      // set-union bounds: max(halves) ≤ merged ≤ snap + delta
+      assert(nm >= math.max(ns, nd) && nm <= ns + nd, s"$pr bounds")
+      assert(nb == g.map(v => Math.floorDiv(v._2 - 1, 32768L)).distinct.length,
+        s"$pr state bucket count")
+    }
+  }
 }
