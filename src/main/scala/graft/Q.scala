@@ -103,5 +103,6 @@ object Q {
       queries.StorageOps2.all ++
       queries.GraphOps3.all ++
       queries.CurationOps10.all ++
-      queries.SearchOps5.all
+      queries.SearchOps5.all ++
+      queries.StorageOps3.all
 }

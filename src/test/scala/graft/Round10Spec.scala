@@ -189,4 +189,57 @@ class Round10Spec extends SparkSpec {
         s"$pr state bucket count")
     }
   }
+
+  /** Driver twin of the Portable 60-bit md5 hash. */
+  private def md5_60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("q280 shard shuffle balances and interleaves per a driver recount") {
+    val out = Q.byName("q280_seeded_shard_shuffle").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.docs(spark, sf()).select("doc_id", "source")
+      .collect().map(r => (md5_60(s"shuf1:${r.getLong(0)}") >> 56, r.getString(1)))
+    val total = docs.length.toLong
+    assert(out.map(_._2).sum == total, "shards must partition the corpus")
+    val bpGlobal = docs.groupBy(_._2).view
+      .mapValues(_.length * 10000L / total).toMap
+    for ((shard, nDocs, shareBp, maxDev) <- out) {
+      val inShard = docs.filter(_._1 == shard)
+      assert(nDocs == inShard.length, s"shard $shard count")
+      assert(shareBp == nDocs * 10000L / total)
+      val want = bpGlobal.map { case (src, g) =>
+        math.abs(inShard.count(_._2 == src) * 10000L / nDocs - g)
+      }.max
+      assert(maxDev == want, s"shard $shard dev $maxDev vs $want")
+    }
+  }
+
+  test("q281 consistent hashing moves only successor-stolen keys, all to the new shard") {
+    val row = Q.byName("q281_consistent_hash_rebalance").fn(spark, sf()).collect()(0)
+    val (nKeys, movedMod, movedCh) =
+      (row.getLong(0), row.getLong(1), row.getLong(3))
+    def ring(shards: Int) = (0 until shards * 8)
+      .map(v => (v / 8).toLong -> md5_60(s"ring:${v / 8}:${v % 8}"))
+    def assignCh(hk: Long, r: Seq[(Long, Long)]): Long = {
+      val succ = r.filter(_._2 >= hk)
+      (if (succ.nonEmpty) succ.minBy(_._2) else r.minBy(_._2))._1
+    }
+    val keys = Tables.t(spark, sf(), "customer").select("c_custkey")
+      .collect().map(_.getLong(0))
+    assert(nKeys == keys.length)
+    val (rOld, rNew) = (ring(16), ring(17))
+    val moves = keys.map(ck => (assignCh(md5_60(s"key:$ck"), rOld),
+      assignCh(md5_60(s"key:$ck"), rNew)))
+    assert(movedCh == moves.count { case (a, b) => a != b })
+    // every consistent-hash move is a steal BY the new shard
+    assert(moves.filter { case (a, b) => a != b }.forall(_._2 == 16L),
+      "a key may only move to the added shard")
+    assert(movedMod == keys.count(ck => ck % 16 != ck % 17))
+    // and the headline claim: CH moves a small fraction, mod nearly all
+    assert(movedCh * 100 <= nKeys * 25, s"CH moved $movedCh of $nKeys")
+    assert(movedMod * 100 >= nKeys * 75, s"mod moved only $movedMod of $nKeys")
+  }
 }
