@@ -149,9 +149,13 @@ object CurationOps10 {
   val q274 = Q(
     "q274_token_budget_waterfill",
     (s, dir) => {
+      // pin the #sources-row aggregate: it feeds BOTH the ranked
+      // window chain and the broadcast totals crossJoin — unpinned,
+      // the dominant corpus tokenization scan would run twice
       val avail = Tables.docs(s, dir)
         .select(col("source"), size(Portable.tokens(col("text"))).as("nt"))
         .groupBy("source").agg(sum(col("nt").cast("long")).as("avail"))
+        .localCheckpoint(true)
       val w = Window.orderBy(col("avail"), col("source"))
       val ranked = avail
         .withColumn("rn", row_number().over(w))

@@ -50,24 +50,29 @@ object CurationOps5 {
         .cast("double") / lit(1152921504606846976.0) // 2^60
       val w = when(u < pcD(0), 0).when(u < pcD(1), 1).when(u < pcD(2), 2)
         .when(u < pcD(3), 3).when(u < pcD(4), 4).otherwise(5)
+      // ONE orders scan: every replicate group contains every order
+      // row exactly once, so the observed mean (Σprice/n, the same
+      // decimal-exact form as Portable.moneyAvg) rides the replicate
+      // aggregate — identical in every group, surfaced with max().
       val reps = Tables.t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           explode(sequence(lit(0), lit(31))).as("r"))
         .withColumn("w", w)
         .groupBy("r")
-        .agg((sum(col("w") * col("o_totalprice").cast("decimal(18,4)")).cast("double") /
-          sum("w")).as("m"))
-      val obs = Tables.t(s, dir, "orders")
-        .agg(Portable.moneyAvg(col("o_totalprice")).as("observed_mean"))
-      obs.crossJoin(
-        reps.agg(sort_array(collect_list("m")).as("ms"))
-          .select(element_at(col("ms"), 2).as("boot_lo"),
-            element_at(col("ms"), 31).as("boot_hi")))
-        .select("observed_mean", "boot_lo", "boot_hi")
+        .agg(
+          (sum(col("w") * col("o_totalprice").cast("decimal(18,4)")).cast("double") /
+            sum("w")).as("m"),
+          Portable.moneyAvg(col("o_totalprice")).as("obs"))
+      reps.agg(max("obs").as("observed_mean"),
+          sort_array(collect_list("m")).as("ms"))
+        .select(col("observed_mean"),
+          element_at(col("ms"), 2).as("boot_lo"),
+          element_at(col("ms"), 31).as("boot_hi"))
     },
     Some(s"""WITH reps AS (
       |  SELECT r,
-      |    CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / sum(w) AS m
+      |    CAST(sum(w * CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / sum(w) AS m,
+      |    ${Portable.moneyAvgSql("o_totalprice")} AS obs
       |  FROM (
       |    SELECT o_totalprice, r,
       |      CASE WHEN u < ${pc(0)} THEN 0 WHEN u < ${pc(1)} THEN 1
@@ -79,14 +84,11 @@ object CurationOps5 {
                "concat('boot:', r, ':', CAST(o_orderkey AS VARCHAR))")} AS DOUBLE)
       |          / 1152921504606846976.0 AS u
       |      FROM orders CROSS JOIN (SELECT unnest(range(32)) AS r) rr))
-      |  GROUP BY r),
-      |band AS (SELECT list(m ORDER BY m) AS ms FROM reps)
-      |SELECT
-      |  (CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*))
-      |    AS observed_mean,
-      |  (SELECT ms[2] FROM band) AS boot_lo,
-      |  (SELECT ms[31] FROM band) AS boot_hi
-      |FROM orders""".stripMargin))
+      |  GROUP BY r)
+      |SELECT max(obs) AS observed_mean,
+      |  (list(m ORDER BY m))[2] AS boot_lo,
+      |  (list(m ORDER BY m))[31] AS boot_hi
+      |FROM reps""".stripMargin))
 
   /** Winsorized + trimmed statistics per return flag: the robust
     * aggregates a quality-metric pipeline publishes when raw means

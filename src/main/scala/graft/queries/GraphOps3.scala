@@ -96,10 +96,14 @@ object GraphOps3 {
     * reads first.
     *
     * Scale: the weight attaches to the ORDER row before the within-
-    * order expansion, so the join carries one double; pair volume is
-    * Σ basketᵢ² (q221's bound). Scores are rounded BEFORE the
-    * ordered cut so the cross-engine tie order is exact; ties break
-    * (x, y).
+    * order expansion, so the join carries one value; pair volume is
+    * Σ basketᵢ² (q221's bound). Per the house exactness convention
+    * (q263/q278: exact integer sums first, one float op last) the
+    * per-order weight is scaled to an integer — round(1e12/ln(bsz)),
+    * identical per-row in both engines — summed exactly as
+    * DECIMAL(38,0) so the accumulation is fold-order-free, and the
+    * ordered cut ranks the EXACT sum (display score = one final
+    * divide + round); ties break (x, y).
     */
   val q275 = Q(
     "q275_adamic_adar_links",
@@ -114,28 +118,33 @@ object GraphOps3 {
         items
           .join(items.groupBy("o").agg(count(lit(1)).as("bsz"))
             .filter(col("bsz") >= 2), "o")
-          .withColumn("w", lit(1.0) / log(col("bsz"))),
+          .withColumn("ws",
+            round(lit(1e12) / log(col("bsz")), 0).cast("decimal(38,0)")),
         items)
       weighted.alias("a")
         .join(weighted.alias("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-        .agg(count(lit(1)).as("common_orders"), sum(col("a.w")).as("aa"))
-        .select(col("x"), col("y"), col("common_orders"),
-          round(col("aa"), 6).as("aa_score"))
-        .orderBy(col("aa_score").desc, col("x"), col("y"))
+        .agg(count(lit(1)).as("common_orders"), sum(col("a.ws")).as("aa"))
+        .select(col("x"), col("y"), col("common_orders"), col("aa"),
+          round(col("aa").cast("double") / lit(1e12), 6).as("aa_score"))
+        .orderBy(col("aa").desc, col("x"), col("y"))
         .limit(20)
+        .drop("aa")
     },
     Some("""WITH items AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |bsz AS (SELECT o, count(*) AS bsz FROM items GROUP BY 1 HAVING count(*) >= 2),
-      |w AS MATERIALIZED (SELECT items.o, p, 1.0 / ln(bsz) AS w
+      |w AS MATERIALIZED (
+      |     SELECT items.o, p, CAST(round(1e12 / ln(bsz)) AS HUGEINT) AS ws
       |     FROM items JOIN bsz ON items.o = bsz.o)
-      |SELECT a.p AS x, b.p AS y, count(*) AS common_orders,
-      |  round(sum(a.w), 6) AS aa_score
-      |FROM w a JOIN w b ON a.o = b.o AND a.p < b.p
-      |GROUP BY 1, 2
-      |ORDER BY aa_score DESC, x, y LIMIT 20""".stripMargin))
+      |SELECT x, y, common_orders, round(CAST(aa AS DOUBLE) / 1e12, 6) AS aa_score
+      |FROM (
+      |  SELECT a.p AS x, b.p AS y, count(*) AS common_orders, sum(a.ws) AS aa
+      |  FROM w a JOIN w b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2
+      |  ORDER BY aa DESC, x, y LIMIT 20)
+      |ORDER BY aa DESC, x, y""".stripMargin))
 
   val all: Vector[Q] = Vector(q271, q275)
 }

@@ -46,14 +46,20 @@ object SearchOps5 {
       val pool = wn.filter(col("vec_id") >= 10).select(
         col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("label").as("cl"))
+      // ONE pool pass: cosine + grade computed together, then the
+      // corpus-sized embedding columns are dropped and the narrow
+      // (query_id, cand_id, rel, cos) frame is pinned — it feeds two
+      // branches (ranked→dcg and the grade-count aggregate), and
+      // without the pin the pool scan + cosine grading ran twice
       val graded = pool.crossJoin(broadcast(qs))
-        .withColumn("rel",
+        .select(col("query_id"), col("cand_id"),
           when(col("cl") === col("ql"), 2)
-            .when(abs(col("cl") - col("ql")) === 1, 1).otherwise(0))
+            .when(abs(col("cl") - col("ql")) === 1, 1).otherwise(0).as("rel"),
+          round(V.dot("ce", "qe") / (col("cn") * col("qn")), 6).as("cos"))
+        .localCheckpoint(true)
       // top-10 by rounded cosine (InferWindowGroupLimit keeps this a
       // per-partition partial top-k, the q232 plan shape)
       val ranked = graded
-        .withColumn("cos", round(V.dot("ce", "qe") / (col("cn") * col("qn")), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))))
         .filter(col("rn") <= 10)

@@ -92,6 +92,44 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("sorted_intersect_count"), s.take(2000))
   }
 
+  test("q41: checkpoint-materialization plan runs minhash_bands inside codegen") {
+    // q41's signature frame is localCheckpointed since r10, so the
+    // kernel runs inside the checkpoint materialization and is
+    // invisible in the FINAL plan. Capture the plans of every action
+    // q41 itself executes via a QueryExecutionListener and pin the
+    // kernel's codegen placement on the plan q41 ACTUALLY ran — a
+    // CodegenFallback regression inside the checkpointed pipeline
+    // fails here even though the final plan never shows the kernel.
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val s = qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p                        => p.toString
+        }
+        if (s.contains("minhash_bands")) captured.add(s)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      q("q41_dedup_minhash_lsh").collect()
+      // the listener bus is async — poll for the checkpoint plan
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime < deadline) Thread.sleep(50)
+      assert(!captured.isEmpty,
+        "no executed plan containing minhash_bands was captured while running q41")
+      import scala.jdk.CollectionConverters._
+      val starred = captured.asScala
+        .flatMap(_.linesIterator).filter(_.contains("minhash_bands")).toList
+      assert(starred.forall(_.trim.matches("""[+:\-\s]*\*\(\d+\).*""")),
+        s"minhash_bands must sit inside a WholeStageCodegen span in q41's own " +
+          s"checkpoint plan:\n${starred.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q41/q42: signature kernels run inside whole-stage codegen") {
     // the kernels exist to replace interpreted HOF lambdas — if a
     // plan change ever pushes them out of a WholeStageCodegen span
@@ -99,11 +137,10 @@ class PlanSpec extends SparkSpec {
     // reverts. AQE finalizes codegen stages at execution, so collect
     // first; codegen'd operators print with a "*(id)" prefix.
     //
-    // q41's signature frame is localCheckpointed since r10 (the
-    // kernel runs inside the checkpoint materialization, invisible in
-    // the final plan), so its minhash_bands pin probes the same
-    // tokenSet→minhash_bands pipeline q41 materializes, built
-    // directly; q42's simhash stays pinned through the full query.
+    // q41's minhash_bands pin above asserts on the listener-captured
+    // checkpoint plan; the sigProbe here additionally pins the
+    // directly-built tokenSet→minhash_bands pipeline, and q42's
+    // simhash stays pinned through the full query.
     graft.functions.Md5Long60.register(spark)
     graft.functions.MinHashBands.register(spark)
     val sigProbe = Tables.docs(spark, sf()).filter(col("lang") === "en")
@@ -367,12 +404,14 @@ class PlanSpec extends SparkSpec {
     // 6 equi-joins — per round, contrib = pr ⋈ deg (both node-sized)
     // and the single edge-sized join (pinned sym ⋈ contrib). A
     // regression that re-joins deg against the EDGE table would keep
-    // the count at 6 but put deg on the big side — pinned by the
-    // assertion that deg's aggregate never feeds a join with the
-    // checkpointed edge relation (the edge join's build/stream sides
-    // are sym and contrib only). The 4 remaining joins are the
-    // broadcast crossJoins with the 1-row n frame (pr0 seed + one per
-    // round), which must all be BNLJ.
+    // the count at 6 but put deg on the big side — pinned below by a
+    // TREE assertion: every equi-join side that is the bare
+    // checkpointed edge relation (an RDD scan with no join and no
+    // aggregate in its subtree) must have a JOIN in its partner's
+    // subtree (contrib = pr ⋈ deg) — a bare deg AGGREGATE partner
+    // fails. The 4 remaining joins are the broadcast crossJoins with
+    // the 1-row n frame (pr0 seed + one per round), which must all
+    // be BNLJ.
     val df = q("q142_pagerank_purchases")
     df.collect()
     val s = planString(df)
@@ -381,6 +420,41 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 6 equi-joins (edge + contrib per round), got $equi:\n${s.take(3000)}")
     assert("BroadcastNestedLoopJoin".r.findAllIn(s).size == 4,
       s"n-frame must broadcast (pr0 + 3 rounds):\n${s.take(3000)}")
+    // tree walk (recursing through AQE stages + reused exchanges):
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case qs: QueryStageExec       => Seq(qs.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case o                        => o.children
+    }
+    def collectAll(n: SparkPlan)(p: SparkPlan => Boolean): Seq[SparkPlan] =
+      (if (p(n)) Seq(n) else Nil) ++ kids(n).flatMap(collectAll(_)(p))
+    val root = df.queryExecution.executedPlan
+    val equiJoins = collectAll(root) {
+      case _: BroadcastNestedLoopJoinExec => false
+      case _: BaseJoinExec                => true
+      case _                              => false
+    }.map(_.asInstanceOf[BaseJoinExec])
+    val bareEdgeSides = for {
+      j <- equiJoins
+      (side, other) <- Seq((j.left, j.right), (j.right, j.left))
+      if collectAll(side)(x =>
+        x.isInstanceOf[BaseJoinExec] || x.isInstanceOf[BaseAggregateExec]).isEmpty &&
+        collectAll(side)(_.isInstanceOf[RDDScanExec]).nonEmpty
+    } yield (j, other)
+    assert(bareEdgeSides.size >= 3,
+      s"expected the checkpointed edge relation as a bare equi-join side once per " +
+        s"round, found ${bareEdgeSides.size}:\n${s.take(3000)}")
+    bareEdgeSides.foreach { case (j, other) =>
+      assert(collectAll(other)(_.isInstanceOf[BaseJoinExec]).nonEmpty,
+        s"the checkpointed edge relation's join partner must be the node-sized " +
+          s"contrib JOIN (pr ⋈ deg), not a bare deg aggregate:\n$j")
+    }
   }
 
   test("q235: multi-probe LSH candidates join on bucket EQUALITY (hash join, no nested loop)") {

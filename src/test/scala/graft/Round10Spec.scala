@@ -50,15 +50,19 @@ class Round10Spec extends SparkSpec {
     val items = Tables.t(spark, sf(), "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // integer-exact semantics (r11): per-order weight is the scaled
+    // long round(1e12/ln(bsz)), summed exactly; the ordered cut ranks
+    // the exact sum; display score = one final divide + round
     val scored = items.groupBy(_._1).values.filter(_.size >= 2).flatMap { b =>
-      val w = 1.0 / math.log(b.size)
+      val ws = math.round(1e12 / math.log(b.size))
       val ps = b.map(_._2).sorted
-      for (i <- ps.indices; j <- (i + 1) until ps.length) yield ((ps(i), ps(j)), w)
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield ((ps(i), ps(j)), ws)
     }.toSeq.groupBy(_._1).view
-      .mapValues(ws => (ws.size.toLong, ws.map(_._2).sum)).toSeq
+      .mapValues(ws => (ws.size.toLong, ws.map(w => BigInt(w._2)).sum)).toSeq
+      .sortBy { case ((x, y), (_, aa)) => (-aa, x, y) }.take(20)
       .map { case ((x, y), (n, aa)) =>
-        (x, y, n, BigDecimal(aa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-      .sortBy { case (x, y, _, aa) => (-aa, x, y) }.take(20)
+        (x, y, n, BigDecimal(aa.toDouble / 1e12)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     assert(out.toSeq == scored, s"spark ${out.take(3).toSeq} vs driver ${scored.take(3)}")
   }
 
