@@ -126,18 +126,37 @@ object GraphOps2 {
       // branch).
       // pin items before the self-join (both aliases otherwise re-run
       // the fact-table distinct), release it once the pair frame —
-      // the only thing the peel reads — has materialized
+      // the only thing the peel reads — has materialized.
+      //
+      // The pinned frame is ONE packed long per edge (x<<32 | y), not
+      // two: the r11 heap-floor measurement (ProfileHeap, sf10, 48 GB
+      // driver) put this query's pinned pair blocks at ~17 GB with
+      // sampled JVM heap AT the Xmx ceiling — the GC-bound ±30%
+      // variance BASELINE.md describes. Per-row object overhead
+      // dominates, so the BYTE saving is small (sampled storage peak
+      // 17.1 → 16.2 GB), but the narrower rows + cheaper degree scans
+      // measured decisively on wall time: isolated best-of-2 at sf10
+      // fell 160.4 s @ canary 0.929 (r10) → 84.6 s @ canary 1.656
+      // (BENCH_sf10_q221_packed_r11.json; a MEMORY_AND_DISK_SER
+      // variant was also measured and rejected — see Rotate rule 4).
+      // Unpacking is two codegen'd bit ops per scan. Packing is
+      // injective while node ids fit in 32 bits (part keys are dense:
+      // max 2·10⁶ at sf10; a >2³¹-part catalog would need the
+      // two-column form back).
       val itemsP = items.localCheckpoint(true)
+      val packedX = shiftright(col("e"), 32)
+      val packedY = col("e").bitwiseAND(lit(0xFFFFFFFFL))
       var pe = graft.graph.Rotate.supersede(
         itemsP.alias("a")
           .join(itemsP.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+          .select((shiftleft(col("a.p"), 32) + col("b.p")).as("e")).distinct(),
         itemsP)
       def degrees(p: DataFrame): DataFrame = p
-        .select(col("x").as("node"))
-        .unionAll(p.select(col("y").as("node")))
+        .select(packedX.as("node"))
+        .unionAll(p.select(packedY.as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       def surviving(p: DataFrame, a: DataFrame): DataFrame = p
+        .withColumn("x", packedX).withColumn("y", packedY)
         .join(a.select(col("node").as("x")), "x")
         .join(a.select(col("node").as("y")), "y")
       // round 1: alive = every node, so both semi-joins are no-ops —
@@ -171,7 +190,7 @@ object GraphOps2 {
         val nextCnt = nextAlive.count()
         if (graft.graph.Rotate.shrank(aliveCnt, nextCnt)) {
           pe = graft.graph.Rotate.supersede(
-            surviving(pe, nextAlive).select("x", "y"), pe)
+            surviving(pe, nextAlive).select("e"), pe)
         }
         alive = nextAlive
         aliveCnt = nextCnt
