@@ -104,5 +104,7 @@ object Q {
       queries.GraphOps3.all ++
       queries.CurationOps10.all ++
       queries.SearchOps5.all ++
-      queries.StorageOps3.all
+      queries.StorageOps3.all ++
+      queries.CurationOps11.all ++
+      queries.SearchOps6.all
 }

@@ -35,27 +35,35 @@ object GraphOps3 {
     "q271_brand_modularity",
     (s, dir) => {
       // pin items before the self-join (both aliases otherwise re-run
-      // the fact-table distinct), rotate the pin onto the pair frame
+      // the fact-table distinct), rotate the pin onto the pair frame.
+      // The pinned pairs are ONE packed long per edge (x<<32 | y),
+      // the q221 r11 convention: this was the most expensive sf10
+      // registry query (95.5 s, BENCH_sf10_r10b) and the pin is
+      // scanned THREE times below (m, deg, L_c) — narrower blocks cut
+      // both the GC scan and the three reads; unpacking is two
+      // codegen'd bit ops (part keys are dense 32-bit at every SF).
       val items = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         .localCheckpoint(true)
       val pairs = graft.graph.Rotate.supersede(
         items.alias("a")
           .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("x"), col("b.p").as("y")).distinct(),
+          .select((shiftleft(col("a.p"), 32) + col("b.p")).as("e")).distinct(),
         items) // consumed 3× below (m, deg, L_c)
+      val px = shiftright(col("e"), 32)
+      val py = col("e").bitwiseAND(lit(0xFFFFFFFFL))
       val brand = Tables.t(s, dir, "part")
         .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
       val m = pairs.count()
       // degree per node = pair endpoints, both directions (q221's
       // union-of-projections shape — scans the pinned half frame
       // twice instead of pinning a doubled one)
-      val dc = pairs.select(col("x").as("node"))
-        .unionAll(pairs.select(col("y").as("node")))
+      val dc = pairs.select(px.as("node"))
+        .unionAll(pairs.select(py.as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .join(brand, "node")
         .groupBy("brand").agg(sum("deg").as("d_sum"))
-      val lc = pairs
+      val lc = pairs.select(px.as("x"), py.as("y"))
         .join(brand.select(col("node").as("x"), col("brand").as("bx")), "x")
         .join(brand.select(col("node").as("y"), col("brand").as("by")), "y")
         .filter(col("bx") === col("by"))
