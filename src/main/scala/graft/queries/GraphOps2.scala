@@ -70,12 +70,21 @@ object GraphOps2 {
   val q220 = Q(
     "q220_hits_scores",
     (s, dir) => {
-      val e = Tables.t(s, dir, "lineitem")
+      // single-long edge pin (u<<32 | p), the r11 packing convention
+      // (q221/q271): the pinned bipartite edge set is scanned SIX
+      // times (two joins per unrolled round), so narrow blocks pay
+      // off sixfold; the unpack projection (two codegen'd bit ops)
+      // sits between the RDD scan and each join. distinct() on the
+      // packed long ≡ distinct on (u, p) — the pack is injective for
+      // dense 32-bit keys.
+      val packed = Tables.t(s, dir, "lineitem")
         .join(Tables.t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .select((shiftleft(col("o_custkey"), 32) + col("l_partkey")).as("e"))
         .distinct()
         .localCheckpoint(true)
+      val e = packed.select(shiftright(col("e"), 32).as("u"),
+        col("e").bitwiseAND(lit(0xFFFFFFFFL)).as("p"))
       hits(e, 3)
         .select(col("part"), col("authority").cast("string").as("authority"))
     },

@@ -293,24 +293,31 @@ object SketchOps {
     * 1997-01-01 cut splits orders into snapshot/delta halves exactly
     * like q241.
     *
-    * The audit is the q230 parity argument applied to IVM: HLL
-    * registers are per-bucket MAXIMA, so union(snapshot sketch,
-    * delta sketch) must estimate EXACTLY what one sketch over the
-    * full fact estimates — `merge_eq_recompute` pins it per key (any
-    * difference is an engine regression, not sketch noise; note
-    * `hll_sketch_agg` is itself already a register-max merge of
-    * per-partition partials, which is why this holds). `est_ok`
-    * separately bounds the estimate against the exact distinct count
-    * by max(8%, 3): lgK=12's rel. std. error is 1.625%, and an
-    * ALWAYS-ON per-key assertion over 175 keys needs ~5σ — the
-    * round-8 sf10 gate proved 5% (3.1σ) too tight exactly as the
-    * binomial math predicts (one key of 175 at 45,700 exact landed
-    * outside; merge==recompute still held on every key, so the
-    * sketch was healthy and the BAND was the defect). 8% = 4.9σ
-    * puts the per-run false-alarm probability near 1e-4 while a
-    * broken sketch or merge still fails by orders of magnitude. `n_parts` keeps snapshot-only and delta-only keys
-    * visible (years < 1997 never gain a delta sketch; the merge must
-    * preserve them untouched).
+    * The audit (REVISED r11): the original pin claimed
+    * union(snapshot, delta) estimates EXACTLY what one sketch over
+    * the full fact estimates, on the register-max argument. That is
+    * NOT a DataSketches invariant: once keys leave sparse/coupon
+    * mode (~> a few hundred distincts) the ESTIMATOR path becomes
+    * topology-sensitive — measured on the r11 sf1 fixtures with
+    * stock Spark SQL only (no engine code): one hll_sketch_agg over
+    * a key's fact rows gave 4648 where union-of-half-sketches gave
+    * 4621 (≈0.6% apart; 173 of 175 keys differed, bit-stable across
+    * runs). Below that size both paths are coupon-exact and DO
+    * match, which is why sf0.01 gates (and r10's fixture generation)
+    * were green — topology luck, not a law. The honest cross-engine
+    * pin is therefore BOTH constructions against the exact distinct
+    * count: `est_merged_ok` (the IVM refresh path) and `est_full_ok`
+    * (the from-scratch recompute), each within max(8%, 3) of exact.
+    * lgK=12's rel. std. error is 1.625%; an ALWAYS-ON per-key
+    * assertion over 175 keys needs ~5σ — the round-8 sf10 gate
+    * proved 5% (3.1σ) too tight exactly as the binomial math
+    * predicts; 8% = 4.9σ puts the per-run false-alarm probability
+    * near 1e-4 while a broken sketch or merge still fails by orders
+    * of magnitude. The TIGHT cross-path agreement (≤2% at fixed
+    * topology) is pinned in SketchOpsSpec where a tolerance compare
+    * is possible; a hash gate cannot express it. `n_parts` keeps
+    * snapshot-only and delta-only keys visible (years < 1997 never
+    * gain a delta sketch; the merge must preserve them untouched).
     */
   val q255 = Q(
     "q255_hll_view_maintenance",
@@ -336,13 +343,14 @@ object SketchOps {
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))")
             .as("est_full"),
           countDistinct(col("o_custkey")).as("exact_customers"))
+      def band(est: org.apache.spark.sql.Column) =
+        abs(est - col("exact_customers")) <=
+          greatest(round(col("exact_customers") * 0.08), lit(3.0))
       merged.join(recomputed, Seq("n_name", "o_year"))
         .select(col("n_name"), col("o_year"), col("exact_customers"),
           col("n_parts"),
-          (col("est_merged") === col("est_full")).as("merge_eq_recompute"),
-          (abs(col("est_merged") - col("exact_customers")) <=
-            greatest(round(col("exact_customers") * 0.08), lit(3.0)))
-            .as("est_ok"))
+          band(col("est_merged")).as("est_merged_ok"),
+          band(col("est_full")).as("est_full_ok"))
         .orderBy("n_name", "o_year")
     },
     Some("""WITH dim AS (
@@ -355,7 +363,7 @@ object SketchOps {
       |SELECT n_name, o_year,
       |  count(DISTINCT o_custkey) AS exact_customers,
       |  CAST(count(DISTINCT is_snap) AS INTEGER) AS n_parts,
-      |  TRUE AS merge_eq_recompute, TRUE AS est_ok
+      |  TRUE AS est_merged_ok, TRUE AS est_full_ok
       |FROM k GROUP BY 1, 2
       |ORDER BY n_name, o_year""".stripMargin))
 

@@ -439,10 +439,14 @@ object EventStreams {
     * into the STORED view with `hll_union`, which is exactly the
     * Θ(keys)-per-refresh merge a warehouse runs per ingest batch
     * (never re-scanning history). HLL registers are per-bucket
-    * maxima, so the maintained view is invariant to how rows were
-    * split into batches: StreamingSpec pins stream-maintained ==
-    * batch-computed sketch EXACTLY per key, plus the 8% band vs the
-    * exact distinct count. The view frame is checkpoint-rotated per
+    * maxima, so the maintained SKETCH is invariant to how rows were
+    * split into batches — but the ESTIMATE read off it is not a
+    * topology invariant past sparse mode (the q255 r11 finding: the
+    * estimator path differs between update-built and union-built
+    * sketches): StreamingSpec pins stream-maintained vs
+    * batch-computed estimates within 2% per key (exact-tight on
+    * sparse-mode keys), plus the 8% band vs the exact distinct
+    * count. The view frame is checkpoint-rotated per
     * refresh (the stored artifact stays Θ(keys) and lineage O(1));
     * a production run would swap the localCheckpoint for a reliable
     * table write, as q255's batch form stores its (key, half)

@@ -82,13 +82,40 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
-  test("q255 IVM: merged sketch == recompute on every key, both halves exercised") {
+  test("q255 IVM: both sketch paths in band, merge tracks recompute within 2%") {
     val rows = Q.byName("q255_hll_view_maintenance").fn(spark, sf()).collect()
     assert(rows.nonEmpty)
-    // the IVM invariant: union(snapshot sketch, delta sketch) must
-    // estimate exactly what one sketch over the full fact does
-    assert(rows.forall(_.getBoolean(4)), "merge != recompute on some key")
-    assert(rows.forall(_.getBoolean(5)), "estimate out of the 8% band")
+    // r11 revision: estimate EQUALITY across merge topologies is not
+    // a DataSketches invariant past sparse mode (see the q255
+    // scaladoc), so the hash-gated columns bound each path against
+    // exact, and the TIGHT cross-path agreement is pinned here with
+    // a tolerance the hash gate cannot express
+    assert(rows.forall(_.getBoolean(4)), "merged estimate out of the 8% band")
+    assert(rows.forall(_.getBoolean(5)), "full estimate out of the 8% band")
+    val cut = to_date(lit("1997-07-01"))
+    val keyed = Tables.t(spark, sf(), "orders")
+      .select(col("o_custkey"), col("o_orderdate"))
+      .join(Tables.t(spark, sf(), "customer")
+        .join(Tables.t(spark, sf(), "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("o_year"),
+        col("o_custkey"), (col("o_orderdate") < cut).as("is_snap"))
+    val est = keyed.groupBy("n_name", "o_year", "is_snap")
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+      .groupBy("n_name", "o_year")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("m"))
+      .join(keyed.groupBy("n_name", "o_year")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))").as("f"),
+          countDistinct(col("o_custkey")).as("ex")),
+        Seq("n_name", "o_year"))
+      .collect()
+    for (r <- est) {
+      val (m, f, ex) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.abs(m - f) <= math.max(math.round(ex * 0.02), 3L),
+        s"${r.getString(0)}/${r.getInt(1)}: merged $m vs full $f drifted >2% of $ex")
+    }
     val parts = rows.map(_.getInt(3)).toSet
     assert(parts == Set(1, 2),
       "fixture must contain snapshot-only/delta-only keys AND spanning keys " +
