@@ -8,9 +8,16 @@ import org.apache.spark.sql.SparkSession
 /** Heap-floor profiler (VERDICT r10 #7): run named registry queries
   * and record, per query,
   *
-  *   - `heap_peak_mb`     — peak JVM heap across all heap pools
-  *     (MemoryPoolMXBean peaks, reset before each query): the number
-  *     `-Xmx` actually has to cover, GC headroom excluded;
+  *   - `heap_peak_mb`     — the HEADLINE number: peak sampled
+  *     JVMHeapMemory from Spark's executor-metrics poller (250 ms),
+  *     a real point-in-time heap reading — the floor `-Xmx` must
+  *     cover, GC headroom excluded;
+  *   - `heap_pool_sum_mb` — the sum of per-pool MemoryPoolMXBean
+  *     peaks (reset before each query). Kept as an UPPER BOUND only:
+  *     per-pool peaks need not occur simultaneously (eden peaks
+  *     before a collection, old-gen after), so the sum can overstate
+  *     the true simultaneous footprint (ADVICE r11 #4 — earlier
+  *     rounds reported this as the headline);
   *   - `exec_peak_mb` / `storage_peak_mb` / `unified_peak_mb` —
   *     Spark's own executor-metric peaks (OnHeapExecutionMemory /
   *     OnHeapStorageMemory / OnHeapUnifiedMemory) from the metrics
@@ -65,12 +72,19 @@ object ProfileHeap {
     })
 
     // belt-and-braces: a 100 ms sampler over the public storage-info
-    // API, for the pinned-block peak even if no heartbeat lands
-    @volatile var storageSampledPeak = 0L
+    // API, for the pinned-block peak even if no heartbeat lands.
+    // Peaks are keyed by an EPOCH the main loop bumps after the
+    // between-query reset — a sampler iteration that started before
+    // the reset publishes into the OLD epoch's slot instead of
+    // racing the shared peak back up (ADVICE r11 #4: the previous
+    // `@volatile var` could be re-published right after zeroing).
+    val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampledPeaks = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     val sampler = new Thread(() => {
       while (true) {
+        val e = Long.box(epoch.get())
         val s = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-        if (s > storageSampledPeak) storageSampledPeak = s
+        sampledPeaks.merge(e, Long.box(s), (a, b) => Long.box(math.max(a, b)))
         Thread.sleep(100)
       }
     })
@@ -93,17 +107,19 @@ object ProfileHeap {
       System.gc(); Thread.sleep(500)
       heapPools.foreach(_.resetPeakUsage())
       peaks.clear()
-      storageSampledPeak = 0L
+      epoch.incrementAndGet() // in-flight samples land in the old slot
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // let the last poll land before reading the Spark-side peaks
       Thread.sleep(1000)
-      val heapPeak = heapPools.map(p => Option(p.getPeakUsage).map(_.getUsed)
+      val poolSum = heapPools.map(p => Option(p.getPeakUsage).map(_.getUsed)
         .getOrElse(0L)).sum
+      val storageSampledPeak = Option(sampledPeaks.get(Long.box(epoch.get())))
+        .map(_.longValue).getOrElse(0L)
       def p(k: String): Long = mb(Option(peaks.get(k)).map(_.longValue).getOrElse(0L))
-      println(f"""[heap] {"query":"$name","sec":$sec%.1f,"heap_peak_mb":${mb(heapPeak)},"exec_peak_mb":${p("OnHeapExecutionMemory")},"storage_peak_mb":${p("OnHeapStorageMemory")},"storage_sampled_peak_mb":${mb(storageSampledPeak)},"unified_peak_mb":${p("OnHeapUnifiedMemory")},"jvm_heap_sampled_mb":${p("JVMHeapMemory")},"xmx_mb":${mb(Runtime.getRuntime.maxMemory)}}""")
+      println(f"""[heap] {"query":"$name","sec":$sec%.1f,"heap_peak_mb":${p("JVMHeapMemory")},"heap_pool_sum_mb":${mb(poolSum)},"exec_peak_mb":${p("OnHeapExecutionMemory")},"storage_peak_mb":${p("OnHeapStorageMemory")},"storage_sampled_peak_mb":${mb(storageSampledPeak)},"unified_peak_mb":${p("OnHeapUnifiedMemory")},"xmx_mb":${mb(Runtime.getRuntime.maxMemory)}}""")
     }
     spark.stop()
   }

@@ -106,5 +106,8 @@ object Q {
       queries.SearchOps5.all ++
       queries.StorageOps3.all ++
       queries.CurationOps11.all ++
-      queries.SearchOps6.all
+      queries.SearchOps6.all ++
+      queries.GraphOps4.all ++
+      queries.SearchOps7.all ++
+      queries.CurationOps12.all
 }

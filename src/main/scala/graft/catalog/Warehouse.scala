@@ -205,6 +205,32 @@ final class Warehouse(spark: SparkSession) {
     t
   }
 
+  /** ALTER TABLE ... ADD COLUMNS — the schema-evolution half of the
+    * delegated-HiveQL DDL surface (the reference hands ALL DDL to
+    * Hive via PyHive, hive_manager.py:24-29; a user evolving an
+    * ingested table's schema issues exactly this verb). Existing
+    * files are untouched: parquet/ORC scans null-fill the new
+    * columns on read, which the spec proves end-to-end. Columns are
+    * `(name, hiveType)` pairs, sanitized/quoted like every other
+    * identifier on this facade.
+    */
+  def alterAddColumns(name: String, columns: Seq[(String, String)]): Unit = {
+    require(columns.nonEmpty, "alterAddColumns needs at least one column")
+    val colDdl = columns.map { case (n, tp) => s"${q(n)} $tp" }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${ident(name)} ADD COLUMNS ($colDdl)")
+  }
+
+  /** ALTER TABLE ... RENAME TO — the other schema-evolution verb.
+    * Returns the (sanitized) new name actually registered. Managed
+    * data moves with the table; external locations stay put — Hive's
+    * rule, which Spark's session catalog matches.
+    */
+  def alterRename(name: String, newName: String): String = {
+    val t = graft.types.Types.sanitizeTableName(newName)
+    spark.sql(s"ALTER TABLE ${ident(name)} RENAME TO ${q(t)}")
+    t
+  }
+
   /** Hive `CACHE TABLE` equivalent: pin a table (or view) in the
     * cluster-wide block-manager cache for repeated interactive reads;
     * `uncache` releases it. Lazy by default — materialized on first

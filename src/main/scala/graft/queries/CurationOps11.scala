@@ -159,9 +159,14 @@ object CurationOps11 {
         .groupBy(least(floor(col("pm") / 100000L), lit(9L)).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"), sum("pm").as("pm_sum"))
       val spine = (0L to 9L).toDF("bin")
+      // big_n = Σ n over the zero-filled 10-row spine — derived from
+      // the binned frame itself, so the expensive tokenize/explode
+      // pipeline behind `scored` executes exactly once (a separate
+      // scored.count() branch would re-run it; ADVICE r11 #1).
       spine.join(binned, Seq("bin"), "left")
         .na.fill(0L, Seq("n", "n_pos", "pm_sum"))
-        .crossJoin(broadcast(scored.agg(count(lit(1)).as("big_n"))))
+        .withColumn("big_n", sum("n").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("bin"), col("n"), col("n_pos"),
           when(col("n") > 0,
             round(col("pm_sum").cast("double") / (col("n") * 1e6), 6))

@@ -76,11 +76,12 @@ object GraphOps2 {
       // off sixfold; the unpack projection (two codegen'd bit ops)
       // sits between the RDD scan and each join. distinct() on the
       // packed long ≡ distinct on (u, p) — the pack is injective for
-      // dense 32-bit keys.
+      // dense 32-bit keys, and PackedEdge.pack fails loudly on any
+      // id outside [0, 2^32) rather than silently merging edges.
       val packed = Tables.t(s, dir, "lineitem")
         .join(Tables.t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
-        .select((shiftleft(col("o_custkey"), 32) + col("l_partkey")).as("e"))
+        .select(graft.graph.PackedEdge.pack(col("o_custkey"), col("l_partkey")).as("e"))
         .distinct()
         .localCheckpoint(true)
       val e = packed.select(shiftright(col("e"), 32).as("u"),
@@ -150,15 +151,16 @@ object GraphOps2 {
       // variant was also measured and rejected — see Rotate rule 4).
       // Unpacking is two codegen'd bit ops per scan. Packing is
       // injective while node ids fit in 32 bits (part keys are dense:
-      // max 2·10⁶ at sf10; a >2³¹-part catalog would need the
-      // two-column form back).
+      // max 2·10⁶ at sf10; a >2³²-part catalog fails loudly at the
+      // PackedEdge.pack guard and would need the two-column form
+      // back).
       val itemsP = items.localCheckpoint(true)
       val packedX = shiftright(col("e"), 32)
       val packedY = col("e").bitwiseAND(lit(0xFFFFFFFFL))
       var pe = graft.graph.Rotate.supersede(
         itemsP.alias("a")
           .join(itemsP.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select((shiftleft(col("a.p"), 32) + col("b.p")).as("e")).distinct(),
+          .select(graft.graph.PackedEdge.pack(col("a.p"), col("b.p")).as("e")).distinct(),
         itemsP)
       def degrees(p: DataFrame): DataFrame = p
         .select(packedX.as("node"))

@@ -48,7 +48,7 @@ object GraphOps3 {
       val pairs = graft.graph.Rotate.supersede(
         items.alias("a")
           .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select((shiftleft(col("a.p"), 32) + col("b.p")).as("e")).distinct(),
+          .select(graft.graph.PackedEdge.pack(col("a.p"), col("b.p")).as("e")).distinct(),
         items) // consumed 3× below (m, deg, L_c)
       val px = shiftright(col("e"), 32)
       val py = col("e").bitwiseAND(lit(0xFFFFFFFFL))

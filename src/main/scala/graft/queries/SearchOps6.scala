@@ -26,9 +26,14 @@ object SearchOps6 {
     * lifted to integers (×10⁶); the per-point top-5 sum is an exact
     * long and the mean divides once at the end, so the outlier
     * ranking is fold-order-free. Points in cells smaller than k use
-    * the neighbors they have (k_used is emitted). The assigned frame
-    * is pinned once (it feeds both self-join sides — the r10
-    * multi-branch rule).
+    * the neighbors they have (k_used is emitted); a point alone in
+    * its cell has NO within-cell neighbor and is excluded outright —
+    * no pair row survives `va =!= vb` in either engine, so the
+    * exclusion is symmetric Spark/DuckDB (ADVICE r11 #2: documented
+    * rather than emitted as k_used=0, because a 0-neighbor "outlier
+    * score" is undefined, not zero). The assigned frame is pinned
+    * once (it feeds both self-join sides — the r10 multi-branch
+    * rule).
     *
     * The within-cell restriction UNDERSTATES true k-NN distance only
     * near cell boundaries — acceptable for outlier triage, same

@@ -92,6 +92,61 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("sorted_intersect_count"), s.take(2000))
   }
 
+  /** Listener-captured codegen pin (VERDICT r11 #7): run `name` and
+    * assert every executed plan that mentions kernel `fn` — INCLUDING
+    * checkpoint-materialization actions invisible in the final plan —
+    * keeps the kernel inside a WholeStageCodegen span ("*(id)"
+    * prefix). The final-plan-only pin has a blind spot: a kernel that
+    * runs inside a localCheckpoint materialization never appears in
+    * the final plan, so a CodegenFallback regression there passes the
+    * old assertion silently (the q41 lesson, generalized here to
+    * every checkpointed kernel query).
+    */
+  private def assertKernelCodegenAcrossActions(name: String, fn: String): Unit = {
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val s = qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p                        => p.toString
+        }
+        if (s.contains(fn)) captured.add(s)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      q(name).collect()
+      // the listener bus is async — poll until at least one plan lands
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime < deadline) Thread.sleep(50)
+      assert(!captured.isEmpty,
+        s"no executed plan containing $fn was captured while running $name")
+      import scala.jdk.CollectionConverters._
+      val starred = captured.asScala
+        .flatMap(_.linesIterator).filter(_.contains(fn)).toList
+      assert(starred.forall(_.trim.matches("""[+:\-\s]*\*\(\d+\).*""")),
+        s"$fn must sit inside a WholeStageCodegen span in every plan $name " +
+          s"executes:\n${starred.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("q42: every executed plan keeps simhash32 inside codegen") {
+    assertKernelCodegenAcrossActions("q42_dedup_simhash", "simhash32")
+  }
+
+  test("q47: every executed plan keeps shingle_fingerprint inside codegen") {
+    assertKernelCodegenAcrossActions("q47_fingerprint_shingles", "shingle_fingerprint")
+  }
+
+  test("q100: the checkpointed band pipeline keeps minhash_bands inside codegen") {
+    // q100's bands materialize inside BandCluster's checkpoint — the
+    // exact blind spot the listener pin exists for
+    assertKernelCodegenAcrossActions("q100_dedup_cc_clusters", "minhash_bands")
+  }
+
   test("q41: checkpoint-materialization plan runs minhash_bands inside codegen") {
     // q41's signature frame is localCheckpointed since r10, so the
     // kernel runs inside the checkpoint materialization and is

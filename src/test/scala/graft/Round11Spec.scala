@@ -118,13 +118,17 @@ class Round11Spec extends SparkSpec {
       BigDecimal(r6 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     val scored = assigned.groupBy(_._2).values.flatMap { cell =>
-      cell.map { case (va, c, ea) =>
+      // singleton-cell points have no within-cell neighbor and are
+      // excluded by the query in both engines (see q284 scaladoc) —
+      // guard here too, or a fixture with a 1-point cell divides 0/0
+      cell.flatMap { case (va, c, ea) =>
         val nn = cell.filter(_._1 != va)
           .map { case (vb, _, eb) => (d2i(ea, eb), vb) }
           .sorted.take(5)
-        (va, c, nn.length.toLong,
+        if (nn.isEmpty) None
+        else Some((va, c, nn.length.toLong,
           BigDecimal(nn.map(x => BigInt(x._1)).sum.toDouble / (nn.length * 1e6))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
     }.toSeq.sortBy { case (v, _, _, sc) => (-sc, v) }.take(20)
     assert(out.toSeq == scored,

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent driver recomputations for the round-12 additions:
+  * q286 personalized PageRank (integer-exact recurrence replayed on
+  * collected edges), q287 semantic contamination (within-cell min
+  * distance), q288 Pareto frontier (brute-force O(n²) dominance —
+  * the quadratic ground truth the query's window formulation must
+  * match), plus the PackedEdge range guard.
+  */
+class Round12Spec extends SparkSpec {
+
+  test("q286 PPR equals an integer recurrence replayed on collected edges") {
+    val out = Q.byName("q286_personalized_pagerank").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = Tables.t(spark, sf(), "lineitem")
+      .join(Tables.t(spark, sf(), "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("u"),
+        (col("l_partkey").cast("long") * 2 + 1).as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.flatMap { case (u, p) => Seq((u, p), (p, u)) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val seedNodes = Tables.t(spark, sf(), "customer")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey").cast("long") * 2).as("node"))
+      .collect().map(_.getLong(0))
+    val mass = 1000000000000L / seedNodes.length
+    var pr: Map[Long, Long] = seedNodes.map(_ -> mass).toMap
+    for (_ <- 1 to 3) {
+      val contrib = pr.collect {
+        case (n, v) if deg.contains(n) => n -> (v * 85L) / (100L * deg(n))
+      }
+      val inflow = sym.flatMap { case (s, d) => contrib.get(s).map(d -> _) }
+        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).sum }
+      val tele = seedNodes.map(n => n -> (mass * 15L) / 100L).toMap
+      pr = (inflow.keySet ++ tele.keySet).map(n =>
+        n -> (inflow.getOrElse(n, 0L) + tele.getOrElse(n, 0L))).toMap
+    }
+    val want = pr.collect { case (n, v) if n % 2 == 1 => ((n - 1) / 2, v) }
+      .toSeq.sortBy { case (part, ppr) => (-ppr, part) }.take(20)
+    assert(out.toSeq == want, s"spark ${out.take(3).toSeq} vs driver ${want.take(3)}")
+    // parts DID accumulate seeded mass (the query is non-degenerate)
+    assert(want.head._2 > 0L)
+  }
+
+  test("q287 contamination equals a driver within-cell min-distance recompute") {
+    val out = Q.byName("q287_semantic_contamination").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val assigned = graft.pipeline.SemDeDup
+      .cellAssign(Tables.t(spark, sf(), "embeddings"))
+      .select("vec_id", "cell", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def d2i(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      val r6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(r6 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = assigned.groupBy(_._2).values.flatMap { cell =>
+      val (ev, tr) = cell.partition(_._1 % 7 == 3)
+      // eval vectors in cells with no train vector are excluded (the
+      // q284 singleton convention, documented in the q287 scaladoc)
+      if (tr.isEmpty) Nil
+      else ev.map { case (vid, c, ee) =>
+        val (bd, bt) = tr.map { case (tid, _, te) => (d2i(ee, te), tid) }.min
+        (vid, c, bt,
+          BigDecimal(bd.toDouble / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          bd <= 1150000L)
+      }
+    }.toSeq.sortBy { case (v, _, _, d, _) => (d, v) }.take(20)
+    assert(out.toSeq == want, s"spark ${out.take(3).toSeq} vs driver ${want.take(3)}")
+  }
+
+  test("q288 frontier equals brute-force O(n²) dominance ground truth") {
+    val out = Q.byName("q288_pareto_frontier").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perDoc = Tables.docs(spark, sf())
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Portable.tokens(col("text"))).cast("long"),
+        size(graft.functions.Portable.tokenSet(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = perDoc.filter { case (_, lang, x, y) =>
+      !perDoc.exists { case (_, l2, x2, y2) =>
+        l2 == lang && x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.sortBy { case (id, lang, x, _) => (lang, x, id) }
+    assert(out.toSeq == want.toSeq,
+      s"spark ${out.take(3).toSeq} vs driver ${want.take(3).toSeq}")
+    assert(want.nonEmpty)
+  }
+
+  test("PackedEdge.pack fails loudly on ids outside [0, 2^32)") {
+    import spark.implicits._
+    val ok = Seq((1L, 2L), (4294967295L, 0L)).toDF("x", "y")
+      .select(graft.graph.PackedEdge.pack(col("x"), col("y")).as("e"))
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq((1L << 32) + 2L, 4294967295L << 32))
+    val bad = Seq((4294967296L, 1L)).toDF("x", "y")
+      .select(graft.graph.PackedEdge.pack(col("x"), col("y")).as("e"))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("PackedEdge.pack")), s"got: $e")
+    val neg = Seq((-1L, 1L)).toDF("x", "y")
+      .select(graft.graph.PackedEdge.pack(col("x"), col("y")).as("e"))
+    val e2 = intercept[Exception](neg.collect())
+    assert(msgs(e2).exists(_.contains("PackedEdge.pack")), s"got: $e2")
+  }
+}

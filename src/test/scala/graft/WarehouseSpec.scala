@@ -166,6 +166,32 @@ class WarehouseSpec extends SparkSpec {
     assert(!wh.exists("mng_t"))
   }
 
+  test("ALTER TABLE: add columns null-fills existing data; rename moves the name") {
+    import spark.implicits._
+    wh.drop("alter_t"); wh.drop("alter_t2")
+    wh.createManaged("alter_t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // add two columns — existing parquet files have no such column, so
+    // reads must null-fill (schema evolution without rewriting data)
+    wh.alterAddColumns("alter_t", Seq("score" -> "DOUBLE", "tag" -> "STRING"))
+    assert(wh.describe("alter_t").fieldNames.toSeq == Seq("k", "v", "score", "tag"))
+    val rows = spark.table("alter_t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2), r.isNullAt(3)))
+    assert(rows.toSeq == Seq((1L, "a", true, true), (2L, "b", true, true)))
+    // new writes carry the evolved schema alongside the old files
+    spark.sql("INSERT INTO alter_t VALUES (3, 'c', 0.5, 'new')")
+    assert(spark.table("alter_t").where(col("tag") === "new").count() == 1)
+    assert(wh.info("alter_t").rowCount == 3)
+    // rename: old name gone, new name carries the data + evolved schema
+    val t2 = wh.alterRename("alter_t", "alter_t2")
+    assert(t2 == "alter_t2" && !wh.exists("alter_t") && wh.exists("alter_t2"))
+    assert(wh.info("alter_t2").rowCount == 3)
+    assert(wh.describe("alter_t2").fieldNames.toSeq == Seq("k", "v", "score", "tag"))
+    // raw names flow through the same sanitize rule as every other verb
+    val t3 = wh.alterRename("alter_t2", "alter-t3")
+    assert(t3 == "alter_t3" && wh.exists("alter_t3"))
+    wh.drop("alter_t3")
+  }
+
   test("ANALYZE TABLE records row count and column stats for the CBO") {
     import spark.implicits._
     wh.drop("stats_t")

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Scale-sweep overlay adjudicator (BASELINE.md rule, amended r12).
+
+Computes, machine-readably, what earlier rounds assembled by hand in
+README prose: per-query canary-normalized comparison of a sweep
+artifact against each query's BEST COMMITTED canary-normalized value,
+the >2x outlier list, and the corrected total with targeted isolated
+re-measures substituted.
+
+Usage:
+  python3 tools/overlay.py --sweep BENCH_sf10_r12.json \
+      --refs BENCH_sf10_r10.json BENCH_sf10_r11.json SF10_EVERGREEN.json ... \
+      --targeted BENCH_sf10_targeted_r12.json ... \
+      --out BENCH_sf10_r12_corrected.json
+
+Reference/targeted files may be Bench JSON lines ({"queries": {...},
+"canary_sec": N}) or adjudication artifacts ({"runs": [...]}); failed
+(-1) rows are skipped. Normalization: sec * IDLE_CANARY / canary_sec,
+IDLE_CANARY = 0.794 (the frozen idle-host canary baseline).
+"""
+import argparse, json, sys
+
+IDLE_CANARY = 0.794
+
+
+def runs_in(path):
+    """Yield (queries: {name: sec}, canary_sec) pairs found in a file."""
+    with open(path) as f:
+        txt = f.read().strip()
+    # some bench logs hold one JSON object per line
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in d and "canary_sec" in d:
+            yield d["queries"], float(d["canary_sec"])
+        for r in d.get("runs", []):
+            if "queries" in r and "canary_sec" in r:
+                yield r["queries"], float(r["canary_sec"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", required=True)
+    ap.add_argument("--refs", nargs="+", required=True)
+    ap.add_argument("--targeted", nargs="*", default=[])
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--out", required=True)
+    a = ap.parse_args()
+
+    sweeps = list(runs_in(a.sweep))
+    if len(sweeps) != 1:
+        sys.exit(f"expected exactly one sweep run in {a.sweep}, found {len(sweeps)}")
+    sweep_q, sweep_canary = sweeps[0]
+    sweep_norm = {q: v * IDLE_CANARY / sweep_canary
+                  for q, v in sweep_q.items() if v >= 0}
+
+    # best committed canary-normalized value per query
+    best = {}
+    for path in a.refs:
+        for qs, canary in runs_in(path):
+            for q, v in qs.items():
+                if v < 0:
+                    continue
+                n = v * IDLE_CANARY / canary
+                if q not in best or n < best[q][0]:
+                    best[q] = (n, path)
+
+    # targeted re-measures from this round (best raw + its canary)
+    targeted = {}
+    for path in a.targeted:
+        for qs, canary in runs_in(path):
+            for q, v in qs.items():
+                if v < 0:
+                    continue
+                n = v * IDLE_CANARY / canary
+                if q not in targeted or n < targeted[q][1]:
+                    targeted[q] = (v, n, path)
+
+    flagged, substituted, unresolved = {}, {}, []
+    for q, n in sorted(sweep_norm.items()):
+        if q in best and n > a.threshold * best[q][0]:
+            flagged[q] = {"sweep_sec": sweep_q[q], "sweep_normalized": round(n, 3),
+                          "best_committed_normalized": round(best[q][0], 3),
+                          "best_committed_source": best[q][1],
+                          "ratio": round(n / best[q][0], 3)}
+            if q in targeted:
+                substituted[q] = {"targeted_sec": targeted[q][0],
+                                  "targeted_normalized": round(targeted[q][1], 3),
+                                  "targeted_source": targeted[q][2]}
+            else:
+                unresolved.append(q)
+
+    raw_total = sum(v for v in sweep_q.values() if v >= 0)
+    corrected = raw_total \
+        - sum(sweep_q[q] for q in substituted) \
+        + sum(targeted[q][0] for q in substituted)
+
+    out = {"metric": "corrected_total", "sweep": a.sweep,
+           "sweep_canary_sec": sweep_canary, "idle_canary_baseline": IDLE_CANARY,
+           "threshold": a.threshold, "raw_total": round(raw_total, 3),
+           "corrected_total": round(corrected, 3),
+           "n_queries": len(sweep_norm), "flagged": flagged,
+           "substituted": sorted(substituted),
+           "substitutions": substituted, "unresolved_flagged": unresolved,
+           "refs": a.refs}
+    with open(a.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"raw_total={raw_total:.1f} corrected_total={corrected:.1f} "
+          f"flagged={len(flagged)} substituted={len(substituted)} "
+          f"unresolved={unresolved}")
+    if unresolved:
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
