@@ -82,9 +82,13 @@ object ProfileHeap {
     val sampledPeaks = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     val sampler = new Thread(() => {
       while (true) {
-        val e = Long.box(epoch.get())
-        val s = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-        sampledPeaks.merge(e, Long.box(s), (a, b) => Long.box(math.max(a, b)))
+        // tolerate the race with spark.stop() at process exit — the
+        // daemon thread may sample a stopped context once
+        try {
+          val e = Long.box(epoch.get())
+          val s = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+          sampledPeaks.merge(e, Long.box(s), (a, b) => Long.box(math.max(a, b)))
+        } catch { case _: Exception => () }
         Thread.sleep(100)
       }
     })
