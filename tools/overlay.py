@@ -24,18 +24,26 @@ IDLE_CANARY = 0.794
 
 
 def runs_in(path):
-    """Yield (queries: {name: sec}, canary_sec) pairs found in a file."""
+    """Yield (queries: {name: sec}, canary_sec) pairs found in a file.
+
+    Accepts a single (possibly pretty-printed, multi-line) JSON object
+    or JSONL (one object per line — bench stdout logs).
+    """
     with open(path) as f:
         txt = f.read().strip()
-    # some bench logs hold one JSON object per line
-    for line in txt.splitlines():
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            d = json.loads(line)
-        except json.JSONDecodeError:
-            continue
+    try:
+        docs = [json.loads(txt)]
+    except json.JSONDecodeError:
+        docs = []
+        for line in txt.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                docs.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    for d in docs:
         if "queries" in d and "canary_sec" in d:
             yield d["queries"], float(d["canary_sec"])
         for r in d.get("runs", []):
@@ -59,8 +67,16 @@ def main():
     sweep_norm = {q: v * IDLE_CANARY / sweep_canary
                   for q, v in sweep_q.items() if v >= 0}
 
-    # best committed canary-normalized value per query
-    best = {}
+    # best committed canary-normalized AND best committed raw value per
+    # query. Both are needed: a reference captured in a hot window
+    # (canary 2.7 while the query's own seconds barely moved — the
+    # graph/GC-bound family doesn't scale linearly with the CPU canary)
+    # normalizes far below anything reachable on an idle host, so a
+    # pure normalized trigger over-flags; a pure raw trigger under-
+    # flags when all history was hot. A query is an outlier only when
+    # BOTH ratios exceed the threshold.
+    best = {}       # q -> (normalized, path)
+    best_raw = {}   # q -> (raw_sec, path)
     for path in a.refs:
         for qs, canary in runs_in(path):
             for q, v in qs.items():
@@ -69,6 +85,8 @@ def main():
                 n = v * IDLE_CANARY / canary
                 if q not in best or n < best[q][0]:
                     best[q] = (n, path)
+                if q not in best_raw or v < best_raw[q][0]:
+                    best_raw[q] = (v, path)
 
     # targeted re-measures from this round (best raw + its canary)
     targeted = {}
@@ -83,11 +101,15 @@ def main():
 
     flagged, substituted, unresolved = {}, {}, []
     for q, n in sorted(sweep_norm.items()):
-        if q in best and n > a.threshold * best[q][0]:
+        if (q in best and n > a.threshold * best[q][0]
+                and sweep_q[q] > a.threshold * best_raw[q][0]):
             flagged[q] = {"sweep_sec": sweep_q[q], "sweep_normalized": round(n, 3),
                           "best_committed_normalized": round(best[q][0], 3),
                           "best_committed_source": best[q][1],
-                          "ratio": round(n / best[q][0], 3)}
+                          "best_committed_raw": round(best_raw[q][0], 3),
+                          "best_committed_raw_source": best_raw[q][1],
+                          "ratio": round(n / best[q][0], 3),
+                          "raw_ratio": round(sweep_q[q] / best_raw[q][0], 3)}
             if q in targeted:
                 substituted[q] = {"targeted_sec": targeted[q][0],
                                   "targeted_normalized": round(targeted[q][1], 3),
