@@ -109,5 +109,6 @@ object Q {
       queries.SearchOps6.all ++
       queries.GraphOps4.all ++
       queries.SearchOps7.all ++
-      queries.CurationOps12.all
+      queries.CurationOps12.all ++
+      queries.CurationOps13.all
 }

@@ -94,6 +94,74 @@ class Round12Spec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("q289 survivorship equals a driver replay over the cluster assignment") {
+    val out = Q.byName("q289_dedup_survivorship").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    graft.functions.MinHashBands.register(spark)
+    val db = Tables.docs(spark, sf())
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        graft.functions.Portable.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("bs").getItem(0).as("b0"), col("bs").getItem(1).as("b1"))
+    val members = graft.graph.BandCluster.assign(db)
+      .select("cluster", "doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = members.groupBy(_._1).collect {
+      case (cl, ms) if ms.length >= 2 =>
+        // survivor: longest n_chars, then smallest doc_id
+        val (_, sid, ssrc, schars) =
+          ms.minBy { case (_, id, _, nc) => (-nc, id) }
+        (cl, ms.length.toLong, sid, ssrc, schars,
+          ms.map(_._3).distinct.length.toLong,
+          ms.map(_._3).distinct.sorted.mkString(","))
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == want, s"spark ${out.take(2).toSeq} vs driver ${want.take(2)}")
+    // compositional pin: q289's (cluster, n_docs) rows are exactly
+    // q100's clusters with n_docs >= 2
+    val q100 = Q.byName("q100_dedup_cc_clusters").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 >= 2).toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == q100)
+  }
+
+  test("q290 reshard audit equals a driver ring replay; ring beats modulo") {
+    val out = Q.byName("q290_reshard_audit").fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    import spark.implicits._
+    val mod60 = 1L << 60
+    val ring = (0 to 16).flatMap(sh => (0 to 7).map(v => (sh, v))).toDF("sh", "v")
+      .select(col("sh").cast("long"),
+        graft.functions.Portable.md5Long(concat(lit("node:"),
+          col("sh").cast("string"), lit(":"), col("v").cast("string"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.docs(spark, sf())
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.md5Long(
+          concat(lit("ring:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def assign(h: Long, points: Seq[(Long, Long)]): Long =
+      points.minBy { case (sh, r) =>
+        (((r - h) % mod60 + mod60) % mod60, sh) }._1
+    val old16 = ring.filter(_._1 < 16).toSeq
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val mr = ds.count { case (_, _, h) => assign(h, old16) != assign(h, ring.toSeq) }
+      val mm = ds.count { case (_, _, h) => h % 16 != h % 17 }
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, ds.length.toLong, mr.toLong, mm.toLong,
+        r6(mr.toDouble / ds.length), r6(mm.toDouble / ds.length))
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == want, s"spark ${out.take(2).toSeq} vs driver ${want.take(2)}")
+    // the point of the audit: consistent hashing moves a small
+    // fraction, modulo placement rewrites nearly everything
+    val (n, mr, mm) = (out.map(_._2).sum, out.map(_._3).sum, out.map(_._4).sum)
+    assert(mr.toDouble / n < 0.25, s"ring moved $mr/$n")
+    assert(mm.toDouble / n > 0.75, s"mod moved $mm/$n")
+  }
+
   test("PackedEdge.pack fails loudly on ids outside [0, 2^32)") {
     import spark.implicits._
     val ok = Seq((1L, 2L), (4294967295L, 0L)).toDF("x", "y")
