@@ -56,12 +56,23 @@ object ProfileHeap {
 
     val tracked = Seq("OnHeapExecutionMemory", "OnHeapStorageMemory",
       "OnHeapUnifiedMemory", "JVMHeapMemory")
+    // Listener peaks are EPOCH-KEYED like the storage sampler below
+    // (ADVICE r12 #4): a late executor heartbeat carrying the PREVIOUS
+    // query's JVMHeapMemory peak can land after the between-query
+    // reset (the post-query sleep is 1000 ms but the settle before the
+    // next query is only the 500 ms GC sleep), and with a shared map
+    // it would re-publish the old peak into the next query's headline.
+    // Capturing the epoch at bump() time routes stragglers into the
+    // old slot instead.
+    val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
     val peaks = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    def bump(metrics: org.apache.spark.executor.ExecutorMetrics): Unit =
+    def bump(metrics: org.apache.spark.executor.ExecutorMetrics): Unit = {
+      val e = epoch.get()
       tracked.foreach { k =>
-        peaks.merge(k, Long.box(metrics.getMetricValue(k)),
+        peaks.merge(s"$e:$k", Long.box(metrics.getMetricValue(k)),
           (a, b) => Long.box(math.max(a, b)))
       }
+    }
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onExecutorMetricsUpdate(
           e: SparkListenerExecutorMetricsUpdate): Unit =
@@ -73,12 +84,11 @@ object ProfileHeap {
 
     // belt-and-braces: a 100 ms sampler over the public storage-info
     // API, for the pinned-block peak even if no heartbeat lands.
-    // Peaks are keyed by an EPOCH the main loop bumps after the
+    // Peaks are keyed by the same EPOCH the main loop bumps after the
     // between-query reset — a sampler iteration that started before
     // the reset publishes into the OLD epoch's slot instead of
     // racing the shared peak back up (ADVICE r11 #4: the previous
     // `@volatile var` could be re-published right after zeroing).
-    val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
     val sampledPeaks = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     val sampler = new Thread(() => {
       while (true) {
@@ -110,8 +120,10 @@ object ProfileHeap {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc(); Thread.sleep(500)
       heapPools.foreach(_.resetPeakUsage())
-      peaks.clear()
-      epoch.incrementAndGet() // in-flight samples land in the old slot
+      // one bump isolates BOTH the storage sampler and the listener
+      // peaks: straggling heartbeats from the previous query carry the
+      // old epoch key and can no longer inflate this query's row
+      epoch.incrementAndGet()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -122,7 +134,8 @@ object ProfileHeap {
         .getOrElse(0L)).sum
       val storageSampledPeak = Option(sampledPeaks.get(Long.box(epoch.get())))
         .map(_.longValue).getOrElse(0L)
-      def p(k: String): Long = mb(Option(peaks.get(k)).map(_.longValue).getOrElse(0L))
+      def p(k: String): Long =
+        mb(Option(peaks.get(s"${epoch.get()}:$k")).map(_.longValue).getOrElse(0L))
       println(f"""[heap] {"query":"$name","sec":$sec%.1f,"heap_peak_mb":${p("JVMHeapMemory")},"heap_pool_sum_mb":${mb(poolSum)},"exec_peak_mb":${p("OnHeapExecutionMemory")},"storage_peak_mb":${p("OnHeapStorageMemory")},"storage_sampled_peak_mb":${mb(storageSampledPeak)},"unified_peak_mb":${p("OnHeapUnifiedMemory")},"xmx_mb":${mb(Runtime.getRuntime.maxMemory)}}""")
     }
     spark.stop()

@@ -110,5 +110,6 @@ object Q {
       queries.GraphOps4.all ++
       queries.SearchOps7.all ++
       queries.CurationOps12.all ++
-      queries.CurationOps13.all
+      queries.CurationOps13.all ++
+      queries.CurationOps14.all
 }

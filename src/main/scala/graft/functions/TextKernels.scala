@@ -145,6 +145,35 @@ case class AnchorShingleHashes(child: Expression, k: Int, mod: Int)
       newChild: Expression): AnchorShingleHashes = copy(child = newChild)
 }
 
+/** [[AnchorShingleHashes]] with POSITIONS: every anchored k-char
+  * window as `struct(pos, h)` where `pos` is the window's 1-based
+  * CHARACTER offset (Spark/DuckDB `substring` convention). Unlike the
+  * hash-only kernel this does NOT per-doc-deduplicate — span excision
+  * (q291) must excise every occurrence of a duplicated window, and a
+  * hash repeating inside one document occupies two distinct ranges.
+  * Same winnowing selection (h % mod == 0), so the positions line up
+  * with exactly the windows q192's audit counted.
+  */
+case class AnchorShinglePos(child: Expression, k: Int, mod: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"anchor_shingle_pos expects string, got ${t.sql}")
+  }
+  override def prettyName: String = "anchor_shingle_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.anchorShinglePos(input.asInstanceOf[UTF8String], k, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.anchorShinglePos($c, $k, $mod)")
+  override protected def withNewChildInternal(
+      newChild: Expression): AnchorShinglePos = copy(child = newChild)
+}
+
 /** q47's whole per-document aggregate — `min(h)` and
   * `count(DISTINCT h)` over the k-char shingle hashes — as ONE
   * per-row struct, eliminating the |text|-row explode AND the
@@ -277,6 +306,18 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  def anchorShinglePos(s: UTF8String, k: Int, mod: Int): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    var pos = 1L // 1-based char offset, the substring convention
+    eachShingleHash(s, k) { h =>
+      if (h % mod == 0)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](pos, h)))
+      pos += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def anchorShingleHashes(s: UTF8String, k: Int, mod: Int): ArrayData = {
     val out = new java.util.ArrayList[java.lang.Long]()
     val seen = new java.util.HashSet[java.lang.Long]()
@@ -324,6 +365,10 @@ object TextKernels {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     r.createOrReplaceTempFunction("anchor_shingle_hashes",
       exprs => AnchorShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    r.createOrReplaceTempFunction("anchor_shingle_pos",
+      exprs => AnchorShinglePos(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }

@@ -34,8 +34,14 @@ object PackedEdge {
         xi.cast("string"), lit(", "), yi.cast("string"), lit(")"))))
   }
 
-  /** High half: the packed x. */
-  def x(e: Column): Column = shiftright(e, 32)
+  /** High half: the packed x. Logical (unsigned) shift: for
+    * x in [2^31, 2^32) the packed long is negative, and an arithmetic
+    * shiftright would sign-extend and decode x - 2^32 — a silently
+    * wrong NEGATIVE node id that joins against the raw positive keys
+    * would drop. shiftrightunsigned round-trips the full guarded
+    * [0, 2^32) range (Round13Spec pins x = 2^31 and 2^32 - 1).
+    */
+  def x(e: Column): Column = shiftrightunsigned(e, 32)
 
   /** Low half: the packed y. */
   def y(e: Column): Column = e.bitwiseAND(lit(0xFFFFFFFFL))

@@ -115,6 +115,61 @@ object SemDeDup {
       .withColumn("nrm", V.norm("embedding"))
   }
 
+  /** MULTI-PROBE assignment: each vector's `p` NEAREST cells as an
+    * array, same (d², id)-rounded ranking as [[cellAssign]] so probe 1
+    * is exactly the cellAssign cell. This is standard IVF multi-probe:
+    * a query vector near a cell boundary has its true neighbors in the
+    * runner-up cell, and probing the top-p cells trades p× candidate
+    * volume for the boundary recall a single-cell restriction loses —
+    * q292 MEASURED that loss at 2/6 captured (pair recall 0.33) for
+    * q287's single-probe screen before this existed.
+    *
+    * Same two regimes as [[cellAssign]]. The top-p is a per-vector
+    * sorted slice of (d², seed) pairs — the collect_list buffer holds
+    * k ≈ √n 16-byte pairs per vector (no embeddings), partial-
+    * aggregated map-side inside the crossJoin's own partitioning, so
+    * nothing new shuffles. In the two-level regime candidates come
+    * from the vector's super-cell only (the [[cellAssignTwoLevel]]
+    * tradeoff, unchanged).
+    */
+  def cellProbes(e: DataFrame, p: Int,
+      maxBroadcastSeeds: Long = 65536L): DataFrame = {
+    val st = steps(e)
+    val scored =
+      if (st.k <= maxBroadcastSeeds) {
+        val seeds = e.filter(pmod(col("vec_id"), lit(st.step)) === 0)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("svec"))
+        e.crossJoin(broadcast(seeds))
+      } else {
+        val seeds = e.filter(pmod(col("vec_id"), lit(st.step)) === 0)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("svec"))
+        val superSeeds = seeds.filter(pmod(col("seed_id"), lit(st.superStep)) === 0)
+          .select(col("seed_id").as("ss_id"), col("svec").as("ssvec"))
+        val seedCells = seeds.crossJoin(broadcast(superSeeds))
+          .withColumn("d2", round(V.dist2("svec", "ssvec"), 6))
+          .groupBy("seed_id")
+          .agg(min(struct(col("d2"), col("ss_id"), col("svec"))).as("b"))
+          .select(col("b.ss_id").as("scell"), col("seed_id"), col("b.svec").as("svec"))
+        val vecSuper = e.crossJoin(broadcast(superSeeds))
+          .withColumn("d2", round(V.dist2("embedding", "ssvec"), 6))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("ss_id"), col("embedding"))).as("b"))
+          .select(col("vec_id"), col("b.embedding").as("embedding"),
+            col("b.ss_id").as("scell"))
+        vecSuper.join(seedCells, "scell")
+      }
+    scored
+      .withColumn("d2", round(V.dist2("embedding", "svec"), 6))
+      .groupBy("vec_id")
+      .agg(
+        slice(array_sort(collect_list(struct(col("d2"), col("seed_id")))),
+          1, p).as("top"),
+        // every row of a vec_id group carries the same embedding
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("top"), t => t.getField("seed_id")).as("probes"))
+  }
+
   /** Cell-scoped near-dup pairs → keeper policy, shared by the q180 /
     * q181 registry forms: exact cosine within a cell, keep the lowest
     * vec_id, report each dropped member with its best keeper score.

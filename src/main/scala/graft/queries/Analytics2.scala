@@ -312,8 +312,18 @@ object Analytics2 {
   val q160 = Q(
     "q160_basket_pairs",
     (s, dir) => {
+      // repartition by ok BEFORE the distinct (r13, the q160 root-
+      // cause work): HashPartitioning(ok) satisfies the distinct's
+      // ClusteredDistribution(ok, pk) (subset rule) AND the self-join's
+      // requirement on ok, so ONE exchange serves both. The naive
+      // distinct() partitions by (ok, pk), which the join can't use —
+      // at sf10 that costs a second full 60M-row exchange (reused
+      // across the two aliases, but still written+read once) before
+      // the join. Per-order line counts are tiny and uniform, so
+      // ok-only partitioning carries no skew risk.
       val li = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
         .distinct()
       li.join(li.select(col("ok").as("ok2"), col("pk").as("pk2")),
           col("ok") === col("ok2") && col("pk") < col("pk2"))
@@ -421,9 +431,14 @@ object Analytics2 {
     "q162_triangle_count",
     (s, dir) => {
       // pin li before the self-join (both aliases otherwise re-run
-      // the fact-table distinct), rotate the pin onto the edge frame
+      // the fact-table distinct), rotate the pin onto the edge frame.
+      // repartition by ok BEFORE the distinct (q160's r13 shape): the
+      // ok-only partitioning satisfies the distinct AND survives the
+      // localCheckpoint (LogicalRDD keeps outputPartitioning), so the
+      // self-join on ok adds ZERO exchange over the pinned blocks
       val li = Tables.t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
         .distinct()
         .localCheckpoint(true)
       val e = graft.graph.Rotate.supersede(

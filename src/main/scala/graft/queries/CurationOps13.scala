@@ -39,9 +39,16 @@ object CurationOps13 {
     "q289_dedup_survivorship",
     (s, dir) => {
       graft.functions.MinHashBands.register(s)
+      // n_chars is coalesced to -1 on BOTH sides (ADVICE r12 #3):
+      // Spark's struct ordering sorts a null field FIRST inside
+      // min(struct(...)), while DuckDB's row_number ORDER BY n_chars
+      // DESC puts NULLs LAST — a null-chars doc would make the two
+      // engines pick different survivors. With the sentinel, a
+      // null-chars doc always loses to any real (>= 0) length in both
+      // engines, and ties fall through to doc_id identically.
       val db = graft.Tables.docs(s, dir)
         .select(col("doc_id"), col("source"),
-          col("n_chars").cast("long").as("n_chars"),
+          coalesce(col("n_chars").cast("long"), lit(-1L)).as("n_chars"),
           Portable.tokenSet(col("text")).as("toks"))
         .filter(size(col("toks")) >= 1) // token-free docs leave the oracle's unnest too
         .withColumn("bs", expr("minhash_bands(toks, 2, 8)"))
@@ -87,7 +94,8 @@ object CurationOps13 {
       |  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b),
       |comp AS (SELECT node, min(lab) AS cl FROM reach GROUP BY node),
       |mem AS (
-      |  SELECT c.cl, db.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+      |  SELECT c.cl, db.doc_id, d.source,
+      |    COALESCE(CAST(d.n_chars AS BIGINT), -1) AS n_chars
       |  FROM db JOIN comp c ON db.b0 = c.node
       |  JOIN documents d ON d.doc_id = db.doc_id),
       |rk AS (

@@ -84,7 +84,7 @@ object GraphOps2 {
         .select(graft.graph.PackedEdge.pack(col("o_custkey"), col("l_partkey")).as("e"))
         .distinct()
         .localCheckpoint(true)
-      val e = packed.select(shiftright(col("e"), 32).as("u"),
+      val e = packed.select(graft.graph.PackedEdge.x(col("e")).as("u"),
         col("e").bitwiseAND(lit(0xFFFFFFFFL)).as("p"))
       hits(e, 3)
         .select(col("part"), col("authority").cast("string").as("authority"))
@@ -121,8 +121,13 @@ object GraphOps2 {
   val q221 = Q(
     "q221_kcore_peel",
     (s, dir) => {
+      // repartition by o BEFORE the distinct (q160's r13 shape): the
+      // o-only partitioning satisfies the distinct's (o, p) grouping
+      // (subset rule), survives the pin, and hands the pair self-join
+      // its required distribution — one 60M-row exchange instead of two
       val items = Tables.t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o")).distinct()
       // Pin the HALF edge set (x < y) and derive each direction
       // lazily over the cached blocks: the r10 sf10 attribution put
       // this query heap-marginal and GC-bound (BASELINE.md), and the
@@ -155,7 +160,7 @@ object GraphOps2 {
       // PackedEdge.pack guard and would need the two-column form
       // back).
       val itemsP = items.localCheckpoint(true)
-      val packedX = shiftright(col("e"), 32)
+      val packedX = graft.graph.PackedEdge.x(col("e"))
       val packedY = col("e").bitwiseAND(lit(0xFFFFFFFFL))
       var pe = graft.graph.Rotate.supersede(
         itemsP.alias("a")

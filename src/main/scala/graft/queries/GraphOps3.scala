@@ -42,15 +42,18 @@ object GraphOps3 {
       // scanned THREE times below (m, deg, L_c) — narrower blocks cut
       // both the GC scan and the three reads; unpacking is two
       // codegen'd bit ops (part keys are dense 32-bit at every SF).
+      // repartition by o BEFORE the distinct (q160's r13 shape): one
+      // exchange serves the distinct and the pair self-join
       val items = Tables.t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o")).distinct()
         .localCheckpoint(true)
       val pairs = graft.graph.Rotate.supersede(
         items.alias("a")
           .join(items.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(graft.graph.PackedEdge.pack(col("a.p"), col("b.p")).as("e")).distinct(),
         items) // consumed 3× below (m, deg, L_c)
-      val px = shiftright(col("e"), 32)
+      val px = graft.graph.PackedEdge.x(col("e"))
       val py = col("e").bitwiseAND(lit(0xFFFFFFFFL))
       val brand = Tables.t(s, dir, "part")
         .select(col("p_partkey").as("node"), col("p_brand").as("brand"))
@@ -118,9 +121,13 @@ object GraphOps3 {
     (s, dir) => {
       // pin items (read 3×: basket sizes + both self-join sides via
       // `weighted`), rotate the pin onto the weighted frame the
-      // self-join actually scans
+      // self-join actually scans. repartition by o BEFORE the
+      // distinct (q160's r13 shape): the o-partitioning rides the pin
+      // through the bsz groupBy, the items⋈bsz join AND the weighted
+      // self-join — one exchange where the naive plan pays three
       val items = Tables.t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o")).distinct()
         .localCheckpoint(true)
       val weighted = graft.graph.Rotate.supersede(
         items

@@ -44,35 +44,45 @@ class Round12Spec extends SparkSpec {
     assert(want.head._2 > 0L)
   }
 
-  test("q287 contamination equals a driver within-cell min-distance recompute") {
+  test("q287 contamination equals a driver multi-probe min-distance recompute") {
     val out = Q.byName("q287_semantic_contamination").fn(spark, sf()).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getBoolean(4)))
-    val assigned = graft.pipeline.SemDeDup
-      .cellAssign(Tables.t(spark, sf(), "embeddings"))
-      .select("vec_id", "cell", "embedding").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
-    def d2i(a: Array[Float], b: Array[Float]): Long = {
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // independent recompute: rebuild the quantizer FROM SCRATCH
+    // (every √n-th vec_id is a seed), rank by (round(d²,6), seed_id),
+    // evals probe their top-2 cells, trains live in their top-1
+    val emb = Tables.t(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) {
         val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
       }
-      val r6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      BigDecimal(r6 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      s
     }
-    val want = assigned.groupBy(_._2).values.flatMap { cell =>
-      val (ev, tr) = cell.partition(_._1 % 7 == 3)
-      // eval vectors in cells with no train vector are excluded (the
-      // q284 singleton convention, documented in the q287 scaladoc)
-      if (tr.isEmpty) Nil
-      else ev.map { case (vid, c, ee) =>
-        val (bd, bt) = tr.map { case (tid, _, te) => (d2i(ee, te), tid) }.min
-        (vid, c, bt,
-          BigDecimal(bd.toDouble / 1e6)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          bd <= 1150000L)
+    def d2i(a: Array[Float], b: Array[Float]): Long =
+      BigDecimal(r6(d2(a, b)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val step = math.max(16L, math.ceil(math.sqrt(emb.length.toDouble)).toLong)
+    val seeds = emb.filter(_._1 % step == 0)
+    val probes: Map[Long, Seq[Long]] = emb.map { case (vid, e) =>
+      vid -> seeds.map { case (sid, sv) => (r6(d2(e, sv)), sid) }
+        .sorted.take(2).map(_._2).toSeq
+    }.toMap
+    val (ev, tr) = emb.partition(_._1 % 7 == 3)
+    val trByCell = tr.groupBy { case (tid, _) => probes(tid).head }
+    val want = ev.flatMap { case (vid, ee) =>
+      val cands = probes(vid).flatMap(c => trByCell.getOrElse(c, Array.empty).toSeq)
+      // eval vectors whose probed cells hold no train vector are
+      // excluded (the q284 singleton convention, q287 scaladoc)
+      if (cands.isEmpty) None
+      else {
+        val (bd, bt) = cands.map { case (tid, te) => (d2i(ee, te), tid) }.min
+        Some((vid, bt, r6(bd.toDouble / 1e6), bd <= 1150000L))
       }
-    }.toSeq.sortBy { case (v, _, _, d, _) => (d, v) }.take(20)
+    }.toSeq.sortBy { case (v, _, d, _) => (d, v) }.take(20)
     assert(out.toSeq == want, s"spark ${out.take(3).toSeq} vs driver ${want.take(3)}")
   }
 

@@ -192,6 +192,58 @@ class WarehouseSpec extends SparkSpec {
     wh.drop("alter_t3")
   }
 
+  test("ALTER DROP COLUMN is metadata-only; RENAME COLUMN rewrites; types are parsed") {
+    import spark.implicits._
+    wh.drop("alterd_t")
+    wh.createManaged("alterd_t",
+      Seq((1L, "a", 0.5), (2L, "b", 0.7)).toDF("k", "v", "score"))
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("alterd_t"))
+      .location.toString
+    // drop: catalog schema shrinks, data survives, and the parquet
+    // files still CARRY the dropped column (metadata-only, no rewrite)
+    wh.alterDropColumns("alterd_t", Seq("score"))
+    assert(wh.describe("alterd_t").fieldNames.toSeq == Seq("k", "v"))
+    assert(spark.table("alterd_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(spark.read.parquet(loc).schema.fieldNames.contains("score"),
+      "drop must not rewrite files")
+    // guards: unknown column, dropping everything
+    intercept[IllegalArgumentException](
+      wh.alterDropColumns("alterd_t", Seq("nope")))
+    intercept[IllegalArgumentException](
+      wh.alterDropColumns("alterd_t", Seq("k", "v")))
+    // rename column: data + schema order carried (rewrite path)
+    wh.alterRenameColumn("alterd_t", "v", "name")
+    assert(wh.describe("alterd_t").fieldNames.toSeq == Seq("k", "name"))
+    assert(spark.table("alterd_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    // guards: source must exist, target must not collide
+    intercept[IllegalArgumentException](
+      wh.alterRenameColumn("alterd_t", "nope", "x"))
+    intercept[IllegalArgumentException](
+      wh.alterRenameColumn("alterd_t", "k", "name"))
+    // a hostile "type" string must be rejected by the parser, never
+    // spliced into DDL (it would inject an extra column definition)
+    intercept[IllegalArgumentException](
+      wh.alterAddColumns("alterd_t", Seq("x" -> "INT, injected INT")))
+    assert(wh.describe("alterd_t").fieldNames.toSeq == Seq("k", "name"))
+    wh.drop("alterd_t")
+    // external tables refuse the rewrite-based rename
+    val dir = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), "graft_rencol_ext")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "d.csv"), true)
+      try out.write("id,name\n1,alpha\n".getBytes("UTF-8")) finally out.close()
+      wh.drop("rencol_ext")
+      wh.createExternalCsv("rencol_ext", dir.toString)
+      intercept[IllegalArgumentException](
+        wh.alterRenameColumn("rencol_ext", "id", "id2"))
+      wh.drop("rencol_ext")
+    } finally fs.delete(dir, true)
+  }
+
   test("ANALYZE TABLE records row count and column stats for the CBO") {
     import spark.implicits._
     wh.drop("stats_t")

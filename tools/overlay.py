@@ -63,6 +63,15 @@ def main():
     sweeps = list(runs_in(a.sweep))
     if len(sweeps) != 1:
         sys.exit(f"expected exactly one sweep run in {a.sweep}, found {len(sweeps)}")
+
+    # A --refs/--targeted file that parses to ZERO runs (typo'd path
+    # contents, wrong format) would otherwise contribute nothing
+    # silently: every sweep row then passes unflagged and the
+    # corrected total is vacuously "clean" (ADVICE r12 #5). Fail loudly.
+    for path in a.refs + a.targeted:
+        if not list(runs_in(path)):
+            sys.exit(f"no (queries, canary_sec) runs parsed from {path} — "
+                     "wrong format or empty file; refusing a vacuous overlay")
     sweep_q, sweep_canary = sweeps[0]
     sweep_norm = {q: v * IDLE_CANARY / sweep_canary
                   for q, v in sweep_q.items() if v >= 0}
