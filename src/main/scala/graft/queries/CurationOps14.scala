@@ -135,5 +135,65 @@ object CurationOps14 {
       |FROM keep WHERE ks <= ke
       |ORDER BY doc_id, keep_start""".stripMargin))
 
-  val all: Vector[Q] = Vector(q291)
+  /** Stratified interleaved corpus shuffle — the TRAINING-ORDER
+    * operator: a deterministic (seed-stable, hash-keyed) global
+    * shuffle that additionally ROUND-ROBINS the strata, so every
+    * training batch prefix sees all sources uniformly from batch one
+    * instead of whatever a plain hash order happens to front-load.
+    * Per doc: within-source rank under the hash order, then the
+    * interleave position (all rank-1 docs source-ordered, then all
+    * rank-2, a source dropping out once exhausted) ≡ row_number over
+    * (rnk, source).
+    *
+    * Scale shape: NO global window and NO per-source window (source
+    * cardinality is tiny, so PARTITION BY source would be |corpus|/S
+    * rows in one task — the single-partition problem in stripes).
+    * Within-source rank = [[graft.functions.Dist.globalRank]] over
+    * (source, h, doc_id) minus per-source offsets (an S-row broadcast
+    * derived from the rank frame itself); the interleave position is
+    * CLOSED-FORM from the S-row count table — pos(s, r) =
+    * Σ_{s'} min(n_{s'}, r−1) + |{s' < s : n_{s'} ≥ r}| + 1 — so the
+    * second global ordering pass the naive formulation needs
+    * disappears into an S-row broadcast join + per-doc aggregate.
+    */
+  val q293 = Q(
+    "q293_stratified_interleave",
+    (s, dir) => {
+      val docs = graft.Tables.docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          Portable.md5Long(concat(lit("shuf:"),
+            col("doc_id").cast("string"))).as("h"))
+      val ranked = graft.functions.Dist.globalRank(
+        docs, Seq(col("source"), col("h"), col("doc_id")), "gr",
+        s.sparkContext.defaultParallelism)
+      val counts = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // S rows; read as offsets AND interleave table
+      val offs = counts.alias("a")
+        .join(counts.alias("b"), col("b.source") < col("a.source"), "left_outer")
+        .groupBy(col("a.source").as("source"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+      val wr = ranked
+        .join(broadcast(offs), "source")
+        .select(col("doc_id"), col("source"), (col("gr") - col("off")).as("rnk"))
+      wr.join(broadcast(counts.select(col("source").as("s2"), col("n"))))
+        .groupBy("doc_id", "source", "rnk")
+        .agg((sum(least(col("n"), col("rnk") - 1L)) +
+          sum(when(col("s2") < col("source") && col("n") >= col("rnk"), 1L)
+            .otherwise(0L)) + 1L).as("pos"))
+        .orderBy("pos")
+    },
+    Some(s"""WITH h AS (
+      |  SELECT doc_id, source,
+      |    ${Portable.md5LongSql("concat('shuf:', CAST(doc_id AS VARCHAR))")} AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+      |      AS BIGINT) AS rnk
+      |  FROM h)
+      |SELECT doc_id, source, rnk,
+      |  CAST(row_number() OVER (ORDER BY rnk, source) AS BIGINT) AS pos
+      |FROM r ORDER BY pos""".stripMargin))
+
+  val all: Vector[Q] = Vector(q291, q293)
 }

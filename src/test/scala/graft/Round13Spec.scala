@@ -115,6 +115,31 @@ class Round13Spec extends SparkSpec {
     assert(out == want, s"spark $out vs driver $want")
   }
 
+  test("q293 interleave equals a driver recompute and balances every live prefix") {
+    val out = Q.byName("q293_stratified_interleave").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.docs(spark, sf()).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h(id: Long): Long =
+      graft.functions.Md5Long60.hashBytes(s"shuf:$id".getBytes("UTF-8"))
+    val ranked = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy { case (id, _) => (h(id), id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, src, i + 1L) }.toSeq
+    }
+    val want = ranked.sortBy { case (_, src, r) => (r, src) }.zipWithIndex
+      .map { case ((id, src, r), i) => (id, src, r, i + 1L) }
+    assert(out.toSeq == want, s"spark ${out.take(3).toSeq} vs driver ${want.take(3)}")
+    // the property the operator exists for: while every source is
+    // still live, each S-sized prefix block holds one doc per source
+    val nSources = docs.map(_._2).distinct.length
+    val minN = docs.groupBy(_._2).values.map(_.length).min
+    (1 to minN).foreach { r =>
+      val block = out.slice((r - 1) * nSources, r * nSources)
+      assert(block.map(_._2).distinct.length == nSources,
+        s"rank-$r block is not one-per-source: ${block.map(_._2).toSeq}")
+    }
+  }
+
   test("clone-level contamination is ALWAYS captured: clones share a cell") {
     // The fixture's d² <= 1.15 threshold is the 5th-percentile NATURAL
     // neighborhood (measured: every true pair sits at d² in
