@@ -45,10 +45,19 @@ def runs_in(path):
                 continue
     for d in docs:
         if "queries" in d and "canary_sec" in d:
-            yield d["queries"], float(d["canary_sec"])
+            yield d["queries"], float(d["canary_sec"]), sf_tag(d.get("sf"))
         for r in d.get("runs", []):
             if "queries" in r and "canary_sec" in r:
-                yield r["queries"], float(r["canary_sec"])
+                yield r["queries"], float(r["canary_sec"]), sf_tag(r.get("sf"))
+
+
+def sf_tag(sf):
+    """Normalize an artifact's `sf` field ("fixtures/sf10",
+    "/root/testdata/sf0.1") to its scale token ("sf10", "sf0.1"), or
+    None when absent."""
+    if not sf:
+        return None
+    return str(sf).rstrip("/").split("/")[-1]
 
 
 def main():
@@ -63,16 +72,27 @@ def main():
     sweeps = list(runs_in(a.sweep))
     if len(sweeps) != 1:
         sys.exit(f"expected exactly one sweep run in {a.sweep}, found {len(sweeps)}")
+    sweep_q, sweep_canary, sweep_sf = sweeps[0]
 
-    # A --refs/--targeted file that parses to ZERO runs (typo'd path
-    # contents, wrong format) would otherwise contribute nothing
-    # silently: every sweep row then passes unflagged and the
-    # corrected total is vacuously "clean" (ADVICE r12 #5). Fail loudly.
+    # Reference/targeted runs must come from the SAME fixture scale as
+    # the sweep: the r13 close-out caught an sf0.1 targeted artifact
+    # (BENCH_q100_targeted_r12.json, 5.1 s) being used as the sf10
+    # "best committed raw" for q100 (real sf10 history: 18-25 s),
+    # which flagged four healthy queries. Runs with no sf field are
+    # kept (pre-r10 artifacts) — their values are genuine sf10 rows.
+    def same_scale(tag):
+        return tag is None or sweep_sf is None or tag == sweep_sf
+
+    # A --refs/--targeted file that parses to ZERO same-scale runs
+    # (typo'd path contents, wrong format, wrong fixture) would
+    # otherwise contribute nothing silently: every sweep row then
+    # passes unflagged and the corrected total is vacuously "clean"
+    # (ADVICE r12 #5). Fail loudly.
     for path in a.refs + a.targeted:
-        if not list(runs_in(path)):
-            sys.exit(f"no (queries, canary_sec) runs parsed from {path} — "
-                     "wrong format or empty file; refusing a vacuous overlay")
-    sweep_q, sweep_canary = sweeps[0]
+        if not [1 for _, _, t in runs_in(path) if same_scale(t)]:
+            sys.exit(f"no same-scale (queries, canary_sec) runs parsed from "
+                     f"{path} — wrong format, empty, or wrong fixture scale; "
+                     "refusing a vacuous overlay")
     sweep_norm = {q: v * IDLE_CANARY / sweep_canary
                   for q, v in sweep_q.items() if v >= 0}
 
@@ -87,7 +107,9 @@ def main():
     best = {}       # q -> (normalized, path)
     best_raw = {}   # q -> (raw_sec, path)
     for path in a.refs:
-        for qs, canary in runs_in(path):
+        for qs, canary, tag in runs_in(path):
+            if not same_scale(tag):
+                continue
             for q, v in qs.items():
                 if v < 0:
                     continue
@@ -100,7 +122,9 @@ def main():
     # targeted re-measures from this round (best raw + its canary)
     targeted = {}
     for path in a.targeted:
-        for qs, canary in runs_in(path):
+        for qs, canary, tag in runs_in(path):
+            if not same_scale(tag):
+                continue
             for q, v in qs.items():
                 if v < 0:
                     continue
