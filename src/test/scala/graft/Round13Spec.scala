@@ -115,6 +115,51 @@ class Round13Spec extends SparkSpec {
     assert(out == want, s"spark $out vs driver $want")
   }
 
+  test("q294 applies exactly q291's ranges: driver splice matches hash, length, prefix") {
+    val ranges = Q.byName("q291_span_excision").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+      .groupBy(_._1)
+    val texts = Tables.docs(spark, sf()).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = Q.byName("q294_span_excision_apply").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val want = ranges.toSeq.map { case (id, rs) =>
+      val clean = rs.sortBy(_._2)
+        .map { case (_, ks, ke) => texts(id).substring(ks - 1, ke) }.mkString
+      (id, rs.length.toLong, clean.length.toLong,
+        graft.functions.Md5Long60.hashBytes(clean.getBytes("UTF-8")),
+        clean.take(40))
+    }.sortBy(_._1)
+    assert(out.toSeq == want, s"spark ${out.take(2).toSeq} vs driver ${want.take(2)}")
+    // at least one doc actually shrank (the apply path is exercised)
+    assert(want.exists { case (id, _, len, _, _) => len < texts(id).length },
+      "no doc shrank — excision apply untested")
+  }
+
+  test("q295 admission equals a driver replay over the band signatures") {
+    graft.functions.MinHashBands.register(spark)
+    val sigs = Tables.docs(spark, sf())
+      .select(col("doc_id"), graft.functions.Portable.tokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(expr("minhash_bands(toks, 2, 8)")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val standing = sigs.filter(_._1 % 10 != 7).groupBy(_._2)
+      .map { case (sig, xs) => sig -> xs.map(_._1).min }
+    val out = Q.byName("q295_ingest_admission").fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    val want = sigs.filter(_._1 % 10 == 7).groupBy(_._1).toSeq.map { case (id, xs) =>
+      val hits = xs.flatMap(x => standing.get(x._2))
+      (id, xs.length.toLong, hits.length.toLong,
+        if (hits.isEmpty) None else Some(hits.min), hits.isEmpty)
+    }.sortBy(_._1)
+    assert(out.toSeq == want, s"spark ${out.take(3).toSeq} vs driver ${want.take(3)}")
+    // both verdicts occur on the fixture
+    assert(want.exists(_._5) && want.exists(!_._5),
+      "fixture must exercise both admit and reject")
+  }
+
   test("q293 interleave equals a driver recompute and balances every live prefix") {
     val out = Q.byName("q293_stratified_interleave").fn(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
