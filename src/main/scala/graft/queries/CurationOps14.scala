@@ -61,8 +61,15 @@ object CurationOps14 {
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
         .select("h")
+      // pinned: the plan audit showed the anchor kernel running a
+      // THIRD time over the whole corpus just to feed the untouched
+      // anti-join's doc-id side; spans is small (duplicated-window
+      // occurrences only), and pinning it caps the kernel at the two
+      // irreducible passes (position stream + dup-hash groupBy, whose
+      // subtrees differ after column pruning and can't share a scan)
       val spans = sh.join(dup, Seq("h"), "left_semi")
         .select(col("doc_id"), col("len"), col("s"), (col("s") + 39L).as("e"))
+        .localCheckpoint(true)
       // classic interval merge: an excision starts a new island unless
       // it overlaps or touches the running max end of its predecessors
       val ord = Window.partitionBy("doc_id").orderBy("s", "e")
