@@ -141,6 +141,14 @@ class PlanSpec extends SparkSpec {
     assertKernelCodegenAcrossActions("q47_fingerprint_shingles", "shingle_fingerprint")
   }
 
+  test("q291: every executed plan keeps anchor_shingle_pos inside codegen") {
+    // the excision pipeline's kernel runs in both the spans-pin
+    // materialization and the dup groupBy — the listener capture
+    // covers both (the checkpointed pass would be invisible to a
+    // final-plan-only assertion)
+    assertKernelCodegenAcrossActions("q291_span_excision", "anchor_shingle_pos")
+  }
+
   test("q100: the checkpointed band pipeline keeps minhash_bands inside codegen") {
     // q100's bands materialize inside BandCluster's checkpoint — the
     // exact blind spot the listener pin exists for
