@@ -71,6 +71,20 @@ object EngineDemo {
     spark.sql("DROP VIEW IF EXISTS sales_by_region")
     wh.drop("sales_top")
 
+    // 4c. schema evolution: the full ALTER surface over a managed
+    //     copy — add (null-filled on old files), drop (metadata-only),
+    //     rename-column (rewrite; parquet resolves by name), rename
+    wh.drop("sales_evolved")
+    wh.drop("sales_hist")
+    wh.createManaged("sales_hist", spark.table("sales_ext"))
+    wh.alterAddColumns("sales_hist", Seq("discount" -> "DOUBLE"))
+    wh.alterDropColumns("sales_hist", Seq("when"))
+    wh.alterRenameColumn("sales_hist", "amount", "gross")
+    val evolved = wh.alterRename("sales_hist", "sales_evolved")
+    println(s"[demo] evolved schema=${wh.describe(evolved).fieldNames.mkString(",")} " +
+      s"rows=${wh.info(evolved).rowCount}")
+    wh.drop(evolved)
+
     // 5. custom expression injected via SparkSessionExtensions
     val h = spark.sql(
       "SELECT md5long60('graft') AS fast, CAST(conv(substring(md5('graft'), 1, 15), 16, 10) AS BIGINT) AS portable")

@@ -83,6 +83,17 @@ object HiveDemo {
     println(s"[hive] partitioned dropped; part file still present=" +
       Files.exists(pdir.resolve("region=asia/part-0.csv")))
 
+    // schema evolution against the REAL metastore: add (null-filled),
+    // drop (metadata-only via HiveExternalCatalog.alterTableDataSchema
+    // — files untouched), rename-column (managed rewrite), rename
+    w.alterAddColumns(mng, Seq("discount" -> "DOUBLE"))
+    w.alterDropColumns(mng, Seq("discount"))
+    w.alterRenameColumn(mng, "total", "gross")
+    val mng2 = w.alterRename(mng, "hive_mng_evolved")
+    println(s"[hive] evolved schema=${w.describe(mng2).fieldNames.mkString(",")} " +
+      s"rows=${w.info(mng2).rowCount}")
+    w.drop(mng2)
+
     // the deploy smoke probe, on the production catalog
     println(s"[hive] selftest ok=${w.selfTest().ok}")
 
